@@ -1,0 +1,75 @@
+"""Static-shape padded image batching.
+
+Replaces d2's ``ImageList.from_tensors`` (dynamic max-size padding) with
+TPU-friendly *bucketed* padding: the host data pipeline resizes per
+INPUT.* and then pads every image up to a canvas chosen from a small fixed
+set (cfg.TPU.IMAGE_BUCKETS), so each bucket shape compiles exactly once.
+
+Inside the model, an ImageBatch is just the padded pixel tensor plus the
+true (pre-padding) image sizes used for box clipping and postprocessing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class ImageBatch(NamedTuple):
+    """Batched padded images (NHWC) + per-image true sizes.
+
+    tensor: (B, H, W, C) padded pixels (already normalized).
+    image_sizes: (B, 2) int32 (h, w) valid region per image.
+    """
+
+    tensor: jnp.ndarray
+    image_sizes: jnp.ndarray
+
+    @property
+    def batch_size(self) -> int:
+        return self.tensor.shape[0]
+
+    @property
+    def padded_hw(self) -> Tuple[int, int]:
+        return self.tensor.shape[1], self.tensor.shape[2]
+
+
+def choose_bucket(h: int, w: int, buckets: Sequence[Sequence[int]],
+                  size_divisibility: int = 32) -> Tuple[int, int]:
+    """Smallest-area bucket that fits (h, w); falls back to rounding up."""
+    fitting = [
+        (bh, bw) for bh, bw in buckets if bh >= h and bw >= w
+    ]
+    if fitting:
+        return min(fitting, key=lambda s: s[0] * s[1])
+    d = size_divisibility
+    return (int(np.ceil(h / d) * d), int(np.ceil(w / d) * d))
+
+
+def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
+    """Zero-pad an (H, W, C) host image (numpy) to the canvas size."""
+    h, w = img.shape[:2]
+    ch, cw = canvas_hw
+    assert ch >= h and cw >= w, f"canvas {canvas_hw} smaller than image {(h, w)}"
+    out = np.zeros((ch, cw) + img.shape[2:], dtype=img.dtype)
+    out[:h, :w] = img
+    return out
+
+
+def batch_images(
+    images: Sequence[np.ndarray], buckets: Sequence[Sequence[int]],
+    size_divisibility: int = 32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: pad a list of (H,W,C) images into one canvas batch.
+
+    All images in one batch share one canvas (the smallest bucket fitting
+    the largest image) so the batch is a single static-shape tensor.
+    """
+    max_h = max(im.shape[0] for im in images)
+    max_w = max(im.shape[1] for im in images)
+    canvas = choose_bucket(max_h, max_w, buckets, size_divisibility)
+    tensor = np.stack([pad_to_canvas(im, canvas) for im in images])
+    sizes = np.asarray([[im.shape[0], im.shape[1]] for im in images], dtype=np.int32)
+    return tensor, sizes

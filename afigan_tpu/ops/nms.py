@@ -1,0 +1,144 @@
+"""Fixed-shape non-maximum suppression — pure XLA, blocked-sequential.
+
+TPU-native replacement for torchvision's CUDA ``nms``/``batched_nms``
+(SURVEY §2.3), which the reference uses for RPN proposal filtering and
+final detection filtering. Everything is static-shape: inputs are padded
+score/box arrays with a validity mask; the output is the top-``max_out``
+surviving entries plus a validity mask (no dynamic sizes anywhere).
+
+Algorithm: sort by score, then process in blocks of 128 — inside a block
+suppression is resolved with a short sequential scan; a surviving block
+then suppresses all later boxes in one vectorized (B x N) step. This keeps
+the sequential chain at ~N/B * B_inner tiny steps while all heavy IoU work
+runs as wide VPU ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+
+_NEG_INF = -1.0e10
+
+
+def _iou_one_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    a1 = (box[2] - box[0]) * (box[3] - box[1])
+    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = a1 + a2 - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+def nms_keep_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: Optional[jnp.ndarray] = None,
+    block_size: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run NMS over score-sorted boxes.
+
+    Args:
+        boxes: (N, 4) xyxy.
+        scores: (N,).
+        valid: optional (N,) bool; invalid entries can never be kept.
+
+    Returns:
+        order: (N,) int32 indices sorting scores descending (invalid last).
+        keep_sorted: (N,) bool keep decisions aligned with ``order``.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    s = jnp.where(valid, scores, _NEG_INF)
+    order = jnp.argsort(-s).astype(jnp.int32)
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if pad:
+        boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)], axis=0)
+        valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)], axis=0)
+
+    def block_step(k, keep):
+        start = k * block_size
+        blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block_size, 4))
+        blk_keep = jax.lax.dynamic_slice(keep, (start,), (block_size,))
+
+        # --- resolve suppression inside the block (sequential, tiny ops) ---
+        iou_bb = pairwise_iou(blk_boxes, blk_boxes)
+        col = jnp.arange(block_size)
+
+        def inner(i, kb):
+            suppress = kb[i] & (iou_bb[i] > iou_threshold) & (col > i)
+            return kb & ~suppress
+
+        blk_keep = jax.lax.fori_loop(0, block_size, inner, blk_keep)
+        keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
+
+        # --- suppress all later boxes in one vectorized shot ---
+        iou_bn = pairwise_iou(blk_boxes, boxes_s)  # (B, Npad)
+        later = jnp.arange(boxes_s.shape[0]) >= (start + block_size)
+        suppressed_later = jnp.any(
+            blk_keep[:, None] & (iou_bn > iou_threshold), axis=0
+        ) & later
+        return keep & ~suppressed_later
+
+    keep = jax.lax.fori_loop(0, nb, block_step, valid_s)
+    return order, keep[:n]
+
+
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS returning the top-``max_out`` survivors (fixed shape).
+
+    Returns:
+        out_boxes: (max_out, 4); out_scores: (max_out,);
+        out_idx: (max_out,) original indices; out_valid: (max_out,) bool.
+    """
+    order, keep_sorted = nms_keep_mask(boxes, scores, iou_threshold, valid)
+    # Compact survivors to the front, preserving score order (top_k on the
+    # keep mask is stable: ties broken by lowest index = highest score).
+    _, sel = jax.lax.top_k(keep_sorted.astype(jnp.int32), max_out)
+    out_valid = keep_sorted[sel]
+    orig_idx = order[sel]
+    out_boxes = boxes[orig_idx]
+    out_scores = jnp.where(out_valid, scores[orig_idx], _NEG_INF)
+    return out_boxes, out_scores, orig_idx.astype(jnp.int32), out_valid
+
+
+def batched_nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Category-aware NMS via the coordinate-offset trick (torchvision style).
+
+    Boxes of different ``idxs`` (class or level ids) never suppress each
+    other: each category's boxes are shifted to a disjoint coordinate range.
+    """
+    if boxes.shape[0] == 0:
+        raise ValueError("batched_nms_padded requires non-empty input")
+    max_coord = jnp.max(boxes) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    ob, osc, oi, ov = nms_padded(shifted, scores, iou_threshold, max_out, valid)
+    # Return the un-shifted boxes.
+    return boxes[oi], osc, oi, ov

@@ -1,0 +1,231 @@
+"""ROIAlign — TPU-native bilinear-sampling gather, pure XLA.
+
+Replaces detectron2 v0.1.1's CUDA/C++ ``ROIAlign`` (SURVEY §2.3; exercised
+by the ROI heads via Base-RCNN-FPN.yaml:22-31). Numerics follow d2:
+
+  * ``aligned=True``  (d2 "ROIAlignV2", the reference's POOLER_TYPE default)
+    shifts sample coordinates by -0.5 (pixel-center alignment).
+  * ``aligned=False`` (d2 "ROIAlign") uses the legacy no-shift convention
+    and clamps ROI sizes to >= 1.
+  * Sample points outside [-1, size] contribute zero; otherwise coordinates
+    clamp to the border (exact d2 bilinear_interpolate edge handling).
+
+TPU deviation: d2's ``sampling_ratio=0`` means an adaptive
+ceil(roi_size/output_size) grid — a data-dependent shape. We use a fixed
+sampling grid (default 2x2 per bin) instead; the AP impact is negligible
+(same choice as the TF TPU Mask R-CNN implementations).
+
+The multi-level pooler flattens ALL pyramid levels into one (sum HW, C)
+buffer and performs a single gather with per-ROI level offsets, instead of
+running the pooler once per level — one big gather beats four masked ones.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_gather(flat_feature: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray,
+                     height, width, row_offset) -> jnp.ndarray:
+    """Sample flat (sumHW, C) feature at fractional (y, x) within a level.
+
+    Args:
+        flat_feature: (sum_HW, C) concatenation of levels.
+        y, x: (...,) fractional coords in the level's grid.
+        height, width: (...,) int level dims (broadcastable with y/x).
+        row_offset: (...,) int start row of the level in flat_feature.
+
+    Returns: (..., C) sampled values (zero for out-of-range points).
+    """
+    empty = (y < -1.0) | (y > height.astype(y.dtype)) | (x < -1.0) | (x > width.astype(x.dtype))
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+
+    y_low = jnp.floor(y).astype(jnp.int32)
+    x_low = jnp.floor(x).astype(jnp.int32)
+    y_low = jnp.minimum(y_low, height - 1)
+    x_low = jnp.minimum(x_low, width - 1)
+    y_high = jnp.minimum(y_low + 1, height - 1)
+    x_high = jnp.minimum(x_low + 1, width - 1)
+    y = jnp.minimum(y, (height - 1).astype(y.dtype))
+    x = jnp.minimum(x, (width - 1).astype(x.dtype))
+
+    ly = y - y_low.astype(y.dtype)
+    lx = x - x_low.astype(x.dtype)
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    def take(yy, xx):
+        idx = row_offset + yy * width + xx
+        return jnp.take(flat_feature, idx, axis=0)
+
+    v1 = take(y_low, x_low)
+    v2 = take(y_low, x_high)
+    v3 = take(y_high, x_low)
+    v4 = take(y_high, x_high)
+
+    w1 = (hy * hx)[..., None]
+    w2 = (hy * lx)[..., None]
+    w3 = (ly * hx)[..., None]
+    w4 = (ly * lx)[..., None]
+    out = w1 * v1 + w2 * v2 + w3 * v3 + w4 * v4
+    return jnp.where(empty[..., None], 0.0, out)
+
+
+def _sample_coords(rois: jnp.ndarray, spatial_scale, output_size: int,
+                   sampling_ratio: int, aligned: bool):
+    """Per-ROI sampling grid: (R, P, P, S, S) y and x fractional coords."""
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * spatial_scale - offset
+    y1 = rois[:, 1] * spatial_scale - offset
+    x2 = rois[:, 2] * spatial_scale - offset
+    y2 = rois[:, 3] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    p = jnp.arange(output_size, dtype=rois.dtype)
+    s = (jnp.arange(sampling_ratio, dtype=rois.dtype) + 0.5) / sampling_ratio
+    # y coord: y1 + (p_y + s_y/S) * bin_h  -> shape (R, P, 1, S, 1)
+    ys = (
+        y1[:, None, None, None, None]
+        + (p[None, :, None, None, None] + s[None, None, None, :, None])
+        * bin_h[:, None, None, None, None]
+    )
+    xs = (
+        x1[:, None, None, None, None]
+        + (p[None, None, :, None, None] + s[None, None, None, None, :])
+        * bin_w[:, None, None, None, None]
+    )
+    P, S = output_size, sampling_ratio
+    ys = jnp.broadcast_to(ys, (rois.shape[0], P, P, S, S))
+    xs = jnp.broadcast_to(xs, (rois.shape[0], P, P, S, S))
+    return ys, xs
+
+
+def roi_align(
+    feature: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Single-level ROIAlign.
+
+    Args:
+        feature: (H, W, C) NHWC single image feature.
+        rois: (R, 4) xyxy boxes in image coordinates.
+
+    Returns: (R, P, P, C).
+    """
+    h, w, c = feature.shape
+    ys, xs = _sample_coords(rois, spatial_scale, output_size, sampling_ratio, aligned)
+    flat = feature.reshape(h * w, c)
+    hh = jnp.full(ys.shape, h, dtype=jnp.int32)
+    ww = jnp.full(ys.shape, w, dtype=jnp.int32)
+    off = jnp.zeros(ys.shape, dtype=jnp.int32)
+    samples = _bilinear_gather(flat, ys, xs, hh, ww, off)  # (R,P,P,S,S,C)
+    return jnp.mean(samples, axis=(3, 4))
+
+
+def assign_boxes_to_levels(
+    boxes: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN level router (d2 poolers.py assign_boxes_to_levels numerics)."""
+    area = jnp.clip(
+        (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1]), 0.0, None
+    )
+    sqrt_area = jnp.sqrt(area)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(sqrt_area / canonical_size + 1e-8)
+    )
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+
+
+def multilevel_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Multi-level ROIAlign with FPN level assignment — one unified gather.
+
+    Args:
+        features: per-level (H_l, W_l, C) single-image features, high→low res.
+        boxes: (R, 4) xyxy in image coordinates.
+        strides: per-level strides (e.g. [4, 8, 16, 32]).
+
+    Returns: (R, P, P, C) pooled features.
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    heights = np.array([f.shape[0] for f in features], dtype=np.int32)
+    widths = np.array([f.shape[1] for f in features], dtype=np.int32)
+    row_offsets = np.concatenate([[0], np.cumsum(heights.astype(np.int64) * widths)])[:-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    min_level = int(np.log2(strides[0]))
+    levels = assign_boxes_to_levels(
+        boxes, min_level, min_level + num_levels - 1, canonical_size, canonical_level
+    )  # (R,) in [0, L)
+
+    scales = jnp.asarray([1.0 / s for s in strides], dtype=boxes.dtype)[levels]  # (R,)
+    ys, xs = _sample_coords_per_roi_scale(
+        boxes, scales, output_size, sampling_ratio, aligned
+    )
+    hh = jnp.asarray(heights)[levels][:, None, None, None, None] * jnp.ones_like(ys, dtype=jnp.int32)
+    ww = jnp.asarray(widths)[levels][:, None, None, None, None] * jnp.ones_like(ys, dtype=jnp.int32)
+    off = jnp.asarray(row_offsets, dtype=jnp.int32)[levels][:, None, None, None, None] * jnp.ones_like(
+        ys, dtype=jnp.int32
+    )
+    samples = _bilinear_gather(flat, ys, xs, hh, ww, off)
+    return jnp.mean(samples, axis=(3, 4))
+
+
+def _sample_coords_per_roi_scale(rois, scales, output_size, sampling_ratio, aligned):
+    """Like _sample_coords but with a per-ROI spatial scale vector."""
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * scales - offset
+    y1 = rois[:, 1] * scales - offset
+    x2 = rois[:, 2] * scales - offset
+    y2 = rois[:, 3] * scales - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    p = jnp.arange(output_size, dtype=rois.dtype)
+    s = (jnp.arange(sampling_ratio, dtype=rois.dtype) + 0.5) / sampling_ratio
+    ys = (
+        y1[:, None, None, None, None]
+        + (p[None, :, None, None, None] + s[None, None, None, :, None])
+        * bin_h[:, None, None, None, None]
+    )
+    xs = (
+        x1[:, None, None, None, None]
+        + (p[None, None, :, None, None] + s[None, None, None, None, :])
+        * bin_w[:, None, None, None, None]
+    )
+    P, S = output_size, sampling_ratio
+    ys = jnp.broadcast_to(ys, (rois.shape[0], P, P, S, S))
+    xs = jnp.broadcast_to(xs, (rois.shape[0], P, P, S, S))
+    return ys, xs

@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-device sharding tests run on a virtual CPU mesh (the TPU-world
+analog of the reference's single-host multi-process "distributed" tests,
+SURVEY §4): XLA_FLAGS --xla_force_host_platform_device_count=8.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,95 @@
+"""NMS parity tests against a naive python reference (torchvision semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from afigan_tpu.ops import batched_nms_padded, nms_keep_mask, nms_padded
+
+
+def _naive_nms(boxes, scores, thr):
+    """Greedy NMS, returns kept original indices in score order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            if scores[j] > scores[i]:
+                continue
+            iou = _iou(boxes[i], boxes[j])
+            if iou > thr:
+                suppressed[j] = True
+    return keep
+
+
+def _iou(a, b):
+    lt = np.maximum(a[:2], b[:2])
+    rb = np.minimum(a[2:], b[2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[0] * wh[1]
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def _random_boxes_scores(n, seed):
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(n, 2) * 80
+    wh = rng.rand(n, 2) * 40 + 4
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    return boxes, scores
+
+
+def test_nms_matches_naive():
+    for seed in range(3):
+        boxes, scores = _random_boxes_scores(200, seed)
+        want = _naive_nms(boxes, scores, 0.5)
+        ob, osc, oi, ov = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 200)
+        got = list(np.asarray(oi)[np.asarray(ov)])
+        assert got == want, f"seed {seed}: {got[:10]} vs {want[:10]}"
+
+
+def test_nms_crosses_block_boundary():
+    # >128 boxes forces multi-block path
+    boxes, scores = _random_boxes_scores(500, 7)
+    want = _naive_nms(boxes, scores, 0.6)
+    _, _, oi, ov = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 500)
+    got = list(np.asarray(oi)[np.asarray(ov)])
+    assert got == want
+
+
+def test_nms_respects_validity_mask():
+    boxes, scores = _random_boxes_scores(64, 1)
+    valid = np.zeros(64, dtype=bool)
+    valid[:10] = True
+    _, _, oi, ov = nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64, valid=jnp.asarray(valid)
+    )
+    kept = np.asarray(oi)[np.asarray(ov)]
+    assert all(k < 10 for k in kept)
+    want = _naive_nms(boxes[:10], scores[:10], 0.5)
+    assert list(kept) == want
+
+
+def test_batched_nms_isolates_classes():
+    # identical overlapping boxes in different classes must all survive
+    boxes = np.tile(np.array([[10, 10, 50, 50]], dtype=np.float32), (3, 1))
+    scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+    idxs = np.array([0, 1, 2], dtype=np.int32)
+    _, _, oi, ov = batched_nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs), 0.5, 3
+    )
+    assert int(np.asarray(ov).sum()) == 3
+
+
+def test_nms_max_out_truncation():
+    boxes, scores = _random_boxes_scores(300, 3)
+    want = _naive_nms(boxes, scores, 0.9)  # high thr → many survivors
+    k = 5
+    _, _, oi, ov = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.9, k)
+    got = list(np.asarray(oi)[np.asarray(ov)])
+    assert got == want[:k]

@@ -1,0 +1,109 @@
+"""ROIAlign golden tests against an independent torch-CPU reference.
+
+The torch reference below re-implements d2/torchvision ROIAlign bilinear
+sampling directly (torchvision is not installed in this image), with a
+FIXED sampling grid matching our TPU deviation (sampling_ratio=2).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from afigan_tpu.ops import multilevel_roi_align, roi_align
+
+
+def _torch_roi_align(feat_hwc, rois, out_size, scale, ratio, aligned):
+    """Reference ROIAlign (matches d2 CUDA kernel for fixed sampling_ratio)."""
+    H, W, C = feat_hwc.shape
+    feat = torch.from_numpy(feat_hwc)
+    out = torch.zeros(len(rois), out_size, out_size, C)
+    off = 0.5 if aligned else 0.0
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = [v * scale - off for v in roi]
+        rw, rh = x2 - x1, y2 - y1
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / out_size, rh / out_size
+        for py in range(out_size):
+            for px in range(out_size):
+                acc = torch.zeros(C)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        y = y1 + (py + (iy + 0.5) / ratio) * bh
+                        x = x1 + (px + (ix + 0.5) / ratio) * bw
+                        acc += _bilinear(feat, y, x, H, W)
+                out[r, py, px] = acc / (ratio * ratio)
+    return out.numpy()
+
+
+def _bilinear(feat, y, x, H, W):
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return torch.zeros(feat.shape[-1])
+    y, x = max(y, 0.0), max(x, 0.0)
+    y0, x0 = int(y), int(x)
+    y0, x0 = min(y0, H - 1), min(x0, W - 1)
+    y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+    y, x = min(y, H - 1), min(x, W - 1)
+    ly, lx = y - y0, x - x0
+    hy, hx = 1 - ly, 1 - lx
+    return (
+        hy * hx * feat[y0, x0]
+        + hy * lx * feat[y0, x1]
+        + ly * hx * feat[y1, x0]
+        + ly * lx * feat[y1, x1]
+    )
+
+
+def test_roi_align_matches_torch_aligned():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(24, 32, 8).astype(np.float32)
+    rois = np.array(
+        [[8, 8, 60, 40], [0, 0, 16, 16], [30, 20, 120, 90], [-4, -4, 10, 10]],
+        dtype=np.float32,
+    )
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 0.25, 2, aligned=True)
+    )
+    want = _torch_roi_align(feat, rois, 7, 0.25, 2, aligned=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_matches_torch_legacy():
+    rng = np.random.RandomState(1)
+    feat = rng.randn(16, 16, 4).astype(np.float32)
+    rois = np.array([[4, 4, 40, 40], [0, 0, 2, 2]], dtype=np.float32)
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 0.25, 2, aligned=False)
+    )
+    want = _torch_roi_align(feat, rois, 7, 0.25, 2, aligned=False)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_multilevel_matches_single_level_routing():
+    """Small box → finest level; result equals single-level roi_align there."""
+    rng = np.random.RandomState(2)
+    feats = [
+        rng.randn(32, 32, 4).astype(np.float32),  # stride 4
+        rng.randn(16, 16, 4).astype(np.float32),  # stride 8
+        rng.randn(8, 8, 4).astype(np.float32),  # stride 16
+        rng.randn(4, 4, 4).astype(np.float32),  # stride 32
+    ]
+    strides = [4, 8, 16, 32]
+    small = np.array([[8, 8, 40, 40]], dtype=np.float32)  # area 32² → level 0 (p2)
+    big = np.array([[0, 0, 127, 127]], dtype=np.float32)  # sqrt area 127 → p3
+    boxes = np.concatenate([small, big])
+    got = np.asarray(
+        multilevel_roi_align(
+            [jnp.asarray(f) for f in feats], jnp.asarray(boxes), strides, 7, 2
+        )
+    )
+    want_small = np.asarray(
+        roi_align(jnp.asarray(feats[0]), jnp.asarray(small), 7, 0.25, 2)
+    )
+    # level for sqrt(area)=127: floor(4 + log2(127/224)) = floor(3.18) = 3
+    # → stride 2^3 = 8 → feats index 1
+    want_big = np.asarray(
+        roi_align(jnp.asarray(feats[1]), jnp.asarray(big), 7, 1 / 8.0, 2)
+    )
+    np.testing.assert_allclose(got[0], want_small[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[1], want_big[0], rtol=1e-4, atol=1e-4)
