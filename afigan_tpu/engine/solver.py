@@ -1,0 +1,164 @@
+"""Solver: SGD + warmup multi-step LR, parameter freezing via masks.
+
+d2-v0.1.1 parity (re-exported by the reference at stage1_trainer.py:22,
+516-533): SGD with momentum 0.9, WarmupMultiStepLR (linear warmup factor
+1/1000 over 1000 iters, gamma 0.1 at STEPS), per-key weight decay
+(WEIGHT_DECAY / WEIGHT_DECAY_NORM / WEIGHT_DECAY_BIAS, BIAS_LR_FACTOR),
+optional AdamW (SOLVER.OPTIMIZER for Swin configs), gradient clipping.
+
+TPU redesign: a single optax chain per model; d2's requires_grad=False
+freezing (BACKBONE.FREEZE_AT, AFI_FREEZE, FrozenBN buffers) becomes an
+optax.masked zero-update over param-path predicates — the functional
+equivalent, and the mask doubles as documentation of what is frozen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_multistep_schedule(
+    base_lr: float,
+    steps: Sequence[int],
+    gamma: float = 0.1,
+    warmup_factor: float = 1.0 / 1000,
+    warmup_iters: int = 1000,
+    warmup_method: str = "linear",
+) -> optax.Schedule:
+    """d2 WarmupMultiStepLR."""
+
+    steps = tuple(int(s) for s in steps)
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        if warmup_method == "linear":
+            alpha = count / max(warmup_iters, 1)
+            wf = jnp.where(count < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0)
+        elif warmup_method == "constant":
+            wf = jnp.where(count < warmup_iters, warmup_factor, 1.0)
+        else:
+            raise ValueError(warmup_method)
+        milestone_count = sum(jnp.where(count >= s, 1.0, 0.0) for s in steps)
+        return base_lr * wf * (gamma**milestone_count)
+
+    return schedule
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def make_trainable_mask(
+    params,
+    frozen_predicates: Sequence[Callable[[str], bool]] = (),
+) -> Any:
+    """Pytree of bools: False where any predicate matches the param path."""
+
+    def fn(path, _):
+        p = _path_str(path)
+        return not any(pred(p) for pred in frozen_predicates)
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def frozen_bn_predicate(path: str) -> bool:
+    """FrozenBatchNorm params are buffers (d2: requires_grad=False)."""
+    return "FrozenBatchNorm" in path or (
+        path.endswith(("/mean", "/var")) and "norm" in path.lower()
+    )
+
+
+def backbone_freeze_predicate(freeze_at: int) -> Callable[[str], bool]:
+    """d2 BACKBONE.FREEZE_AT: 1 freezes stem, 2 also freezes res2, ..."""
+
+    def pred(path: str) -> bool:
+        if freeze_at >= 1 and "/stem/" in path:
+            return True
+        for stage in range(2, 6):
+            if freeze_at >= stage and f"/res{stage}/" in path:
+                return True
+        return False
+
+    return pred
+
+
+def afi_freeze_predicate(path: str) -> bool:
+    """MODEL.AFI_FREEZE (ref fpn_sr.py:67-69): freeze the srf_module."""
+    return "srf_module" in path
+
+
+def build_optimizer(
+    cfg,
+    params,
+    frozen_predicates: Sequence[Callable[[str], bool]] = (),
+    base_lr: Optional[float] = None,
+) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """SOLVER.* → optax transform (+ the LR schedule for logging)."""
+    s = cfg.SOLVER
+    lr = base_lr if base_lr is not None else s.BASE_LR
+    schedule = warmup_multistep_schedule(
+        lr, s.STEPS, s.GAMMA, s.WARMUP_FACTOR, s.WARMUP_ITERS, s.WARMUP_METHOD
+    )
+
+    chain = []
+    if s.CLIP_GRADIENTS.ENABLED:
+        if s.CLIP_GRADIENTS.CLIP_TYPE == "value":
+            chain.append(optax.clip(s.CLIP_GRADIENTS.CLIP_VALUE))
+        else:
+            chain.append(optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE))
+
+    # weight decay masks: norms get WEIGHT_DECAY_NORM, biases WEIGHT_DECAY_BIAS
+    def is_norm_or_bias_param(path: str) -> bool:
+        return path.endswith(("/bias", "/scale", "/mean", "/var"))
+
+    if s.OPTIMIZER.upper() == "ADAMW":
+        def wd_mask(p):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not is_norm_or_bias_param(_path_str(path)), p
+            )
+
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule, b1=0.9, b2=0.999,
+                weight_decay=s.WEIGHT_DECAY, mask=wd_mask,
+            )
+        )
+    else:
+        # SGD: decoupled per-group weight decay then momentum
+        wd = s.WEIGHT_DECAY
+        wd_bias = s.WEIGHT_DECAY_BIAS
+        wd_norm = s.WEIGHT_DECAY_NORM
+
+        def add_decay(grads, state, p):
+            del state
+
+            def fn(path, g, param):
+                ps = _path_str(path)
+                if ps.endswith("/bias"):
+                    d = wd_bias
+                elif is_norm_or_bias_param(ps):
+                    d = wd_norm
+                else:
+                    d = wd
+                return g + d * param
+
+            return jax.tree_util.tree_map_with_path(fn, grads, p), None
+
+        chain.append(
+            optax.GradientTransformation(lambda p: None, add_decay)
+        )
+        chain.append(optax.sgd(learning_rate=schedule, momentum=s.MOMENTUM))
+
+    tx = optax.chain(*chain)
+
+    if frozen_predicates:
+        mask = make_trainable_mask(params, frozen_predicates)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "frozen", mask),
+        )
+    return tx, schedule

@@ -1,0 +1,227 @@
+"""Stage 2 — Multi-scale AF-extractor training (detector + GAN), one step.
+
+Loss math parity with the reference run_step
+(ref: afigan/engine/stage2_trainer.py:279-384):
+  * detector (GeneralizedRCNN_AFExtractor) trains on half-res images with
+    detection losses vs half-res GT and returns its pyramid features
+  * "real" = guide full-res features bilinearly downsampled x0.5 (:302);
+    "fake" = the extractor's pyramid (whose top-down path runs the AFI
+    generator)
+  * D step first: Σ_lvl BCE(D(real),1) + BCE(D(stopgrad(fake)),0)
+  * G step: det losses + Σ_lvl 1e-3·adv + L1(fake, real), single backward
+    through detector+srf (:344-384). Ref quirk Q3 (adv detached → dead
+    term) is fixed: adversarial gradient flows into the features through
+    the UPDATED discriminator.
+
+TPU design: ONE jit program; the detector forward runs once — we take
+``jax.vjp`` of (losses, features) w.r.t. detector params, update D using
+stop-gradded features, then pull detector gradients through the saved vjp
+with cotangents (1 for each det loss, d(GAN)/d(features) for the pyramid).
+This avoids the second detector forward a naive two-phase port would pay.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import PatchDiscriminator, build_guide_model, build_model
+from ..models.roi_heads import GroundTruth
+from .solver import (
+    afi_freeze_predicate,
+    backbone_freeze_predicate,
+    build_optimizer,
+    frozen_bn_predicate,
+)
+from .stage1 import LEVELS, _bce_mean, _crop_pair
+
+Dtype = Any
+
+
+class Stage2State(NamedTuple):
+    det_params: Any
+    det_stats: Any
+    det_opt: Any
+    d_params: Any
+    d_stats: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def make_stage2_models(cfg, axis_name: Optional[str] = None):
+    det = build_model(cfg, train=True, axis_name=axis_name, return_features=True)
+    disc = PatchDiscriminator(
+        in_channels=cfg.MODEL.AFI.IN_CHANNELS, train=True, axis_name=None,
+        dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32,
+    )
+    guide = build_guide_model(cfg)
+    return det, disc, guide
+
+
+def _det_frozen_predicates(cfg):
+    preds = [frozen_bn_predicate]
+    if cfg.MODEL.BACKBONE.FREEZE_AT > 0:
+        preds.append(backbone_freeze_predicate(cfg.MODEL.BACKBONE.FREEZE_AT))
+    if cfg.MODEL.AFI_FREEZE:
+        preds.append(afi_freeze_predicate)
+    return preds
+
+
+def init_stage2_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Tuple[Stage2State, Any]:
+    det, disc, guide = make_stage2_models(cfg)
+    h, w = sample_hw
+    kd, kdd, kg, ks = jax.random.split(rng, 4)
+    images = jnp.zeros((1, h, w, 3))
+    sizes = jnp.asarray([[h, w]], jnp.int32)
+    gt = GroundTruth(
+        boxes=jnp.zeros((1, max_gt, 4)),
+        classes=jnp.zeros((1, max_gt), jnp.int32),
+        valid=jnp.zeros((1, max_gt), bool),
+        masks=jnp.zeros((1, max_gt, 28, 28)) if cfg.MODEL.MASK_ON else None,
+    )
+    det_vars = det.init({"params": kd, "sampling": ks}, images, sizes, gt)
+    d_vars = disc.init(kdd, jnp.zeros((1, h // 4, w // 4, cfg.MODEL.AFI.IN_CHANNELS)))
+    guide_vars = guide.init(kg, jnp.zeros((1, 2 * h, 2 * w, 3)))
+
+    det_tx, _ = build_optimizer(cfg, det_vars["params"], _det_frozen_predicates(cfg))
+    d_tx, _ = build_optimizer(cfg, d_vars["params"])
+    state = Stage2State(
+        det_params=det_vars["params"],
+        det_stats=det_vars.get("batch_stats", {}),
+        det_opt=det_tx.init(det_vars["params"]),
+        d_params=d_vars["params"],
+        d_stats=d_vars.get("batch_stats", {}),
+        d_opt=d_tx.init(d_vars["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, guide_vars
+
+
+def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
+    axis = "data" if mesh is not None else None
+    det, disc, guide = make_stage2_models(cfg, axis_name=axis)
+    det_tx, _ = build_optimizer(cfg, None)  # masks applied at init time
+    d_tx, _ = build_optimizer(cfg, None)
+    adv_w = cfg.MODEL.AFI.ADV_LOSS_WEIGHT
+
+    # NOTE: frozen-param masking happens through the optimizer state created
+    # in init_stage2_state; here we rebuild the same tx chain shape.
+    det_tx = None  # replaced below
+
+    def build_txs(det_params, d_params):
+        dtx, _ = build_optimizer(cfg, det_params, _det_frozen_predicates(cfg))
+        ddx, _ = build_optimizer(cfg, d_params)
+        return dtx, ddx
+
+    def apply_disc(params, stats, x):
+        out, mut = disc.apply(
+            {"params": params, "batch_stats": stats}, x, mutable=["batch_stats"]
+        )
+        return out, mut["batch_stats"]
+
+    def step_fn(state: Stage2State, guide_vars, batch, rng):
+        dtx, ddx = build_txs(state.det_params, state.d_params)
+
+        hr_feats = guide.apply(guide_vars, batch["image"])
+        real = []
+        for l in LEVELS:
+            f = jax.lax.stop_gradient(hr_feats[l]).astype(jnp.float32)
+            b, h, w, c = f.shape
+            real.append(jax.image.resize(f, (b, h // 2, w // 2, c), "linear"))
+
+        gt = batch["gt"]
+
+        # --- detector forward once, with vjp for later gradient pull ---
+        def det_forward(params):
+            variables = {"params": params}
+            if state.det_stats:
+                variables["batch_stats"] = state.det_stats
+            out = det.apply(variables, batch["image_x0.5"], batch["image_sizes_x0.5"],
+                            gt, rngs={"sampling": rng})
+            losses, feats = out
+            feat_list = [feats[l].astype(jnp.float32) for l in LEVELS]
+            return losses, feat_list
+
+        (det_losses, fake), det_vjp = jax.vjp(det_forward, state.det_params)
+
+        # ---------------- D step ----------------
+        def d_loss_fn(d_params, d_stats):
+            total = 0.0
+            stats = d_stats
+            metrics = {}
+            for name, rf, ff in zip(LEVELS, real, fake):
+                ff = jax.lax.stop_gradient(ff)
+                rf, ff = _crop_pair(rf, ff)
+                logit_real, stats = apply_disc(d_params, stats, rf)
+                logit_fake, stats = apply_disc(d_params, stats, ff)
+                lvl = _bce_mean(logit_real, 1.0) + _bce_mean(logit_fake, 0.0)
+                metrics[f"d_loss_{name}"] = lvl
+                total = total + lvl
+            return total, (stats, metrics)
+
+        (d_loss, (new_d_stats, d_metrics)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params, state.d_stats)
+        if axis:
+            d_grads = jax.lax.pmean(d_grads, axis)
+        d_up, new_d_opt = ddx.update(d_grads, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_up)
+
+        # ---------------- G step: det losses + GAN on features ----------------
+        def gan_feat_loss(fake_list):
+            total = 0.0
+            stats = new_d_stats
+            metrics = {}
+            for name, rf, ff in zip(LEVELS, real, fake_list):
+                rf, ff = _crop_pair(rf, ff)
+                logit_fake, stats = apply_disc(new_d_params, stats, ff)
+                adv = _bce_mean(logit_fake, 1.0)
+                content = jnp.mean(jnp.abs(ff - rf))
+                metrics[f"adv_loss_{name}"] = adv
+                metrics[f"content_loss_{name}"] = content
+                total = total + adv_w * adv + content
+            return total, (stats, metrics)
+
+        (gan_loss, (final_d_stats, g_metrics)), feat_cotangents = jax.value_and_grad(
+            gan_feat_loss, has_aux=True
+        )(fake)
+
+        loss_cotangents = jax.tree.map(lambda x: jnp.ones_like(x), det_losses)
+        (det_grads,) = det_vjp((loss_cotangents, feat_cotangents))
+        if axis:
+            det_grads = jax.lax.pmean(det_grads, axis)
+        det_up, new_det_opt = dtx.update(det_grads, state.det_opt, state.det_params)
+        new_det_params = optax.apply_updates(state.det_params, det_up)
+
+        total_loss = sum(jax.tree.leaves(det_losses)) + gan_loss
+        metrics = {
+            "total_loss": total_loss, "d_loss": d_loss,
+            **{k: v for k, v in det_losses.items()},
+            **d_metrics, **g_metrics,
+        }
+        if axis:
+            metrics = jax.lax.pmean(metrics, axis)
+
+        new_state = Stage2State(
+            det_params=new_det_params, det_stats=state.det_stats,
+            det_opt=new_det_opt, d_params=new_d_params,
+            d_stats=final_d_stats, d_opt=new_d_opt, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    rep, dat = P(), P("data")
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(rep, rep, dat, rep),
+        out_specs=(rep, rep),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -1,0 +1,119 @@
+"""Stage 3 — target-detector fine-tune (plain detector loop).
+
+Parity with the reference Target_Detector_Trainer
+(ref: afigan/engine/stage3_trainer.py + d2 SimpleTrainer.run_step): plain
+detector training with the pre-trained AF interpolator transplanted into
+the FPN; the srf_module is frozen iff MODEL.AFI_FREEZE (ref
+fpn_sr.py:67-69). No discriminator exists in stage 3 (ref quirk Q2:
+build_hooks references a phantom D_model — not reproduced).
+
+ONE jit program, shard_map data parallel, psum-averaged grads.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import build_model
+from ..models.roi_heads import GroundTruth
+from .solver import (
+    afi_freeze_predicate,
+    backbone_freeze_predicate,
+    build_optimizer,
+    frozen_bn_predicate,
+)
+
+
+class Stage3State(NamedTuple):
+    params: Any
+    stats: Any
+    opt: Any
+    step: jnp.ndarray
+
+
+def _frozen_predicates(cfg):
+    preds = [frozen_bn_predicate]
+    if cfg.MODEL.BACKBONE.FREEZE_AT > 0:
+        preds.append(backbone_freeze_predicate(cfg.MODEL.BACKBONE.FREEZE_AT))
+    if cfg.MODEL.AFI_FREEZE:
+        preds.append(afi_freeze_predicate)
+    return preds
+
+
+def init_stage3_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Stage3State:
+    det = build_model(cfg, train=True)
+    h, w = sample_hw
+    kp, ks = jax.random.split(rng)
+    gt = GroundTruth(
+        boxes=jnp.zeros((1, max_gt, 4)),
+        classes=jnp.zeros((1, max_gt), jnp.int32),
+        valid=jnp.zeros((1, max_gt), bool),
+        masks=jnp.zeros((1, max_gt, 28, 28)) if cfg.MODEL.MASK_ON else None,
+    )
+    variables = det.init(
+        {"params": kp, "sampling": ks},
+        jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32), gt,
+    )
+    tx, _ = build_optimizer(cfg, variables["params"], _frozen_predicates(cfg))
+    return Stage3State(
+        params=variables["params"],
+        stats=variables.get("batch_stats", {}),
+        opt=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
+    axis = "data" if mesh is not None else None
+    det = build_model(cfg, train=True, axis_name=axis)
+
+    def step_fn(state: Stage3State, batch, rng):
+        tx, _ = build_optimizer(cfg, state.params, _frozen_predicates(cfg))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.stats:
+                variables["batch_stats"] = state.stats
+                mutable = ["batch_stats"]
+            out = det.apply(
+                variables, batch["image"], batch["image_sizes"], batch["gt"],
+                rngs={"sampling": rng}, mutable=mutable,
+            )
+            if mutable:
+                losses, new_stats = out
+            else:
+                losses, new_stats = out, state.stats
+            total = sum(jax.tree.leaves(losses))
+            return total, (losses, new_stats)
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if axis:
+            grads = jax.lax.pmean(grads, axis)
+        updates, new_opt = tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {"total_loss": total, **losses}
+        if axis:
+            metrics = jax.lax.pmean(metrics, axis)
+        return Stage3State(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    rep, dat = P(), P("data")
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(rep, dat, rep),
+        out_specs=(rep, rep),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -17,3 +17,9 @@ if "--xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+# This environment pays a ~5s fixed cost per XLA:CPU compilation; the
+# persistent cache makes reruns of the suite fast (first run pays once).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

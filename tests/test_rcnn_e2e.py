@@ -1,0 +1,118 @@
+"""End-to-end GeneralizedRCNN forward tests (tiny shapes, CPU).
+
+Builds models straight from the reference YAML zoo (config-compat check)
+and runs training + inference forwards with padded GT — the jit-side
+contract of the whole detector stack.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from afigan_tpu.config import get_cfg
+from afigan_tpu.models import GroundTruth, build_model
+
+REF = "/root/reference/configs"
+
+
+def _tiny_cfg(mask_on=True):
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF, "Base-RCNN-FPN-AFIGAN.yaml"))
+    cfg.MODEL.MASK_ON = mask_on
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    # shrink for CPU test speed
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    return cfg
+
+
+def _fake_batch(b=1, h=64, w=64, m=4):
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[h - 8, w - 16]] * b, dtype=jnp.int32)
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, 0] = [10, 10, 60, 50]
+    boxes[:, 1] = [30, 40, 100, 90]
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(np.zeros((b, m), np.int32)),
+        valid=jnp.asarray(np.array([[True, True, False, False]] * b)),
+        masks=jnp.asarray(rng.rand(b, m, 28, 28).astype(np.float32)),
+    )
+    return images, sizes, gt
+
+
+def test_train_forward_losses():
+    cfg = _tiny_cfg()
+    model = build_model(cfg, train=True)
+    images, sizes, gt = _fake_batch()
+    # init/apply must run under jit: this environment pays ~5s per XLA
+    # compile, so eager (op-by-op) init would take hours.
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            images, sizes, gt,
+        )
+    )()
+    losses = jax.jit(
+        lambda v, r: model.apply(v, images, sizes, gt, rngs={"sampling": r})
+    )(variables, jax.random.PRNGKey(2))
+    expected = {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg", "loss_mask"}
+    assert expected == set(losses), losses.keys()
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert "srf_module" in variables["params"]["backbone"]["pyramid"]
+
+
+def test_inference_forward_detections():
+    cfg = _tiny_cfg()
+    model = build_model(cfg, train=False)
+    images, sizes, gt = _fake_batch()
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    dets, masks = jax.jit(lambda v: model.apply(v, images, sizes))(variables)
+    b, d = dets.scores.shape
+    assert d == cfg.TEST.DETECTIONS_PER_IMAGE
+    assert dets.boxes.shape == (b, d, 4)
+    assert dets.classes.shape == (b, d)
+    assert masks.shape == (b, d, 28, 28)
+    assert masks.min() >= 0 and masks.max() <= 1
+
+
+def test_cascade_heads_build_and_run():
+    cfg = _tiny_cfg(mask_on=False)
+    cfg.MODEL.ROI_HEADS.NAME = "CascadeROIHeads"
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    model = build_model(cfg, train=True)
+    images, sizes, gt = _fake_batch()
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            images, sizes, gt,
+        )
+    )()
+    losses = jax.jit(
+        lambda v, r: model.apply(v, images, sizes, gt, rngs={"sampling": r})
+    )(variables, jax.random.PRNGKey(2))
+    for stage in range(3):
+        assert f"loss_cls_stage{stage}" in losses
+        assert f"loss_box_reg_stage{stage}" in losses
+    # inference too
+    model_e = build_model(cfg, train=False)
+    var_e = jax.jit(
+        lambda: model_e.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    dets, masks = jax.jit(lambda v: model_e.apply(v, images, sizes))(var_e)
+    assert dets.boxes.shape[1] == cfg.TEST.DETECTIONS_PER_IMAGE
