@@ -70,59 +70,32 @@ class FrozenBatchNorm(nn.Module):
         return x * mul + add
 
 
-class SyncBatchNorm(nn.Module):
-    """BatchNorm whose batch statistics are averaged over the data mesh axis.
-
-    TPU-native SyncBN: inside a shard_map/pmap with axis ``axis_name``,
-    batch stats are psum-averaged across replicas; outside any mesh context
-    it degrades to plain BatchNorm. use_running_average=True at eval.
-    """
-
-    features: int
-    use_running_average: bool = False
-    momentum: float = 0.9
-    eps: float = 1e-5
-    axis_name: Optional[str] = None
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        norm = nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=self.momentum,
-            epsilon=self.eps,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )
-        return norm(x)
-
-
-class GroupNorm32(nn.Module):
-    features: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, dtype=self.dtype, param_dtype=jnp.float32)(x)
-
-
 def get_norm(norm: str, features: int, *, dtype=jnp.float32,
-             train: bool = False, axis_name: Optional[str] = None):
-    """d2 get_norm equivalent: '' | 'BN' | 'SyncBN' | 'FrozenBN' | 'GN'."""
+             train: bool = False, axis_name: Optional[str] = None,
+             name: str = "norm"):
+    """d2 get_norm equivalent: '' | 'BN' | 'SyncBN' | 'FrozenBN' | 'GN'.
+
+    "SyncBN" is BatchNorm with batch stats psum-averaged over the data
+    mesh axis (the TPU-native NCCL SyncBatchNorm); outside any mesh
+    context it degrades to plain BatchNorm.
+    """
     if not norm:
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features, dtype=dtype)
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
     if norm in ("BN", "SyncBN"):
-        return SyncBatchNorm(
-            features,
+        return nn.BatchNorm(
             use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
             axis_name=axis_name if norm == "SyncBN" else None,
             dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
         )
     if norm == "GN":
-        return GroupNorm32(features, dtype=dtype)
+        return nn.GroupNorm(num_groups=32, dtype=dtype,
+                            param_dtype=jnp.float32, name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
 

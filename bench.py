@@ -1,0 +1,96 @@
+"""Benchmark: stage-3 Mask R-CNN R-50-FPN+AFI train-step throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline denominator: the reference trains Mask R-CNN R-50-FPN on 4 GPUs
+(README.md:84-99) and publishes no speed numbers (BASELINE.md); the
+canonical d2 model-zoo speed for mask_rcnn_R_50_FPN_1x is 0.2617 s/iter
+at batch 16 on 8 V100s ≈ 61.1 img/s ≈ 7.64 img/s per GPU. BASELINE.json's
+target is ≥2x that per chip, i.e. vs_baseline = (img/s/chip) / 7.64.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 7.64
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
+    cfg.MODEL.AFI_FREEZE = False
+
+    # Realistic training shapes: 800-short-side COCO canvas, per-chip batch.
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 800, 1344
+    max_gt = 64
+
+    rng = np.random.RandomState(0)
+    num_boxes = 12
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    valid = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        xy = rng.rand(num_boxes, 2) * [w - 100, h - 100]
+        wh = rng.rand(num_boxes, 2) * 180 + 20
+        boxes[i, :num_boxes] = np.concatenate([xy, xy + wh], 1)
+        valid[i, :num_boxes] = True
+
+    data = {
+        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.asarray([[h, w]] * batch, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(
+                rng.randint(0, 80, size=(batch, max_gt)).astype(np.int32)
+            ),
+            valid=jnp.asarray(valid),
+            masks=jnp.asarray(rng.rand(batch, max_gt, 28, 28).astype(np.float32)),
+        ),
+    }
+
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(h, w),
+                              max_gt=max_gt)
+    step = make_stage3_train_step(cfg)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, metrics = step(state, data, key)
+    jax.block_until_ready(metrics)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, data, sub)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage3_train_imgs_per_sec_per_chip_maskrcnn_r50_fpn_afi_800px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

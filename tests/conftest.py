@@ -7,7 +7,7 @@ SURVEY §4): XLA_FLAGS --xla_force_host_platform_device_count=8.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,11 @@ if "--xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend before conftest
+# runs, overriding JAX_PLATFORMS; this config update wins over it so tests
+# really run on the virtual 8-device CPU mesh (and compile locally).
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 
