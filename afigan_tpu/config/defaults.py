@@ -284,6 +284,9 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.IMAGE_BUCKETS = [[704, 704], [704, 1152], [1152, 704], [800, 1344], [1344, 800]]
 # Fixed per-image box capacity for ground-truth padding.
 _C.TPU.MAX_GT_BOXES = 100
+# Per-instance GT mask canvas (rasterized once on host, crop-resized to
+# 28x28 inside the jitted step — SURVEY §7.4 mask-target plan).
+_C.TPU.MASK_CANVAS = 112
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

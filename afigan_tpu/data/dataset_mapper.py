@@ -1,0 +1,133 @@
+"""Dataset mapper: record dict → padded training arrays (host side).
+
+TPU redesign of the reference's dual-scale DatasetMapper
+(ref: afigan/engine/dataset_mapper.py:104-182): ONE sampled transform
+(resize + flip) is replayed at full and x0.5 scale (the load-bearing
+trick that keeps stage-1/2 feature pairs spatially consistent), and all
+GT is padded to static shapes:
+  * boxes (MAX_GT, 4) xyxy in transformed-image coords + validity mask
+  * per-instance masks rasterized ONCE into a (MC, MC) canvas covering
+    the instance's transformed box (crop-resized to 28x28 in-step).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .transforms import ResolvedTransform, sample_train_transform, test_transform
+from .coco import read_image
+from ..evaluation.rle import decode_rle, polygons_to_mask
+
+
+def _rasterize_to_canvas(segm, box, canvas: int, tf: ResolvedTransform) -> np.ndarray:
+    """Rasterize one instance's segmentation into a (canvas, canvas) patch
+    covering its transformed box."""
+    import cv2
+
+    x1, y1, x2, y2 = box
+    w = max(x2 - x1, 1e-3)
+    h = max(y2 - y1, 1e-3)
+    if segm is None:
+        return np.zeros((canvas, canvas), np.float32)
+    if isinstance(segm, dict):  # RLE in ORIGINAL image coords
+        m = decode_rle(segm).astype(np.float32)
+        m = tf.apply_image(m, interp="nearest")[:, :, 0]
+        xi1, yi1 = int(np.floor(x1)), int(np.floor(y1))
+        xi2, yi2 = int(np.ceil(x2)), int(np.ceil(y2))
+        crop = m[max(yi1, 0) : max(yi2, 0), max(xi1, 0) : max(xi2, 0)]
+        if crop.size == 0:
+            return np.zeros((canvas, canvas), np.float32)
+        return cv2.resize(crop, (canvas, canvas), interpolation=cv2.INTER_LINEAR)
+    # polygons: transform then shift/scale into canvas coords directly
+    polys = tf.apply_polygons(segm)
+    shifted = []
+    for p in polys:
+        p = np.asarray(p, np.float64).reshape(-1, 2)
+        p[:, 0] = (p[:, 0] - x1) / w * canvas
+        p[:, 1] = (p[:, 1] - y1) / h * canvas
+        shifted.append(p.reshape(-1).tolist())
+    return polygons_to_mask(shifted, canvas, canvas).astype(np.float32)
+
+
+class DatasetMapper:
+    """record → dict of numpy arrays (unpadded image; padded GT)."""
+
+    def __init__(self, cfg, is_train: bool = True, dual_scale: bool = False,
+                 seed: int = 0):
+        self.is_train = is_train
+        self.dual_scale = dual_scale
+        self.fmt = cfg.INPUT.FORMAT
+        self.min_sizes = (
+            list(cfg.INPUT.MIN_SIZE_TRAIN) if is_train else [cfg.INPUT.MIN_SIZE_TEST]
+        )
+        self.max_size = cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
+        self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
+        self.max_gt = cfg.TPU.MAX_GT_BOXES
+        self.mask_canvas = cfg.TPU.MASK_CANVAS
+        self.mask_on = cfg.MODEL.MASK_ON
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, record: Dict) -> Dict:
+        img = record.get("image")
+        if img is None:
+            img = read_image(record["file_name"], self.fmt)
+        h, w = img.shape[:2]
+
+        if self.is_train:
+            tf = sample_train_transform(
+                self.rng, h, w, self.min_sizes, self.max_size, self.sampling
+            )
+        else:
+            tf = test_transform(h, w, self.min_sizes[0], self.max_size)
+
+        out = {
+            "image": tf.apply_image(img).astype(np.float32),
+            "image_id": record.get("image_id", 0),
+            "orig_height": h,
+            "orig_width": w,
+            "transform": tf,
+        }
+
+        if self.is_train:
+            out["gt"] = self._make_gt(record, tf)
+        if self.dual_scale:
+            tf_half = tf.at_scale(0.5)
+            out["image_x0.5"] = tf_half.apply_image(img).astype(np.float32)
+            if self.is_train:
+                out["gt_x0.5"] = self._make_gt(record, tf_half, share_masks=out.get("gt"))
+        return out
+
+    def _make_gt(self, record: Dict, tf: ResolvedTransform,
+                 share_masks: Optional[Dict] = None) -> Dict:
+        objs = [o for o in record.get("annotations", []) if not o.get("iscrowd", 0)]
+        objs = objs[: self.max_gt]
+        n = len(objs)
+        boxes = np.zeros((self.max_gt, 4), np.float32)
+        classes = np.zeros((self.max_gt,), np.int32)
+        valid = np.zeros((self.max_gt,), bool)
+        if n:
+            raw = np.asarray([o["bbox"] for o in objs], np.float32)
+            tb = tf.apply_boxes(raw)
+            tb[:, 0::2] = np.clip(tb[:, 0::2], 0, tf.new_w)
+            tb[:, 1::2] = np.clip(tb[:, 1::2], 0, tf.new_h)
+            keep = (tb[:, 2] > tb[:, 0] + 1e-3) & (tb[:, 3] > tb[:, 1] + 1e-3)
+            boxes[:n] = tb
+            classes[:n] = [o["category_id"] for o in objs]
+            valid[:n] = keep
+        gt = {"boxes": boxes, "classes": classes, "valid": valid}
+        if self.mask_on:
+            if share_masks is not None:
+                # canvases are box-relative → scale-invariant; reuse
+                gt["masks"] = share_masks["masks"]
+            else:
+                masks = np.zeros((self.max_gt, self.mask_canvas, self.mask_canvas),
+                                 np.float32)
+                for i, o in enumerate(objs):
+                    if valid[i] and o.get("segmentation") is not None:
+                        masks[i] = _rasterize_to_canvas(
+                            o["segmentation"], boxes[i], self.mask_canvas, tf
+                        )
+                gt["masks"] = masks
+        return gt

@@ -1,0 +1,113 @@
+"""COCO evaluation tests: RLE codec round-trips + AP sanity cases."""
+
+import numpy as np
+
+from afigan_tpu.evaluation.rle import (
+    counts_to_string,
+    decode_rle,
+    encode_mask,
+    polygons_to_mask,
+    string_to_counts,
+)
+from afigan_tpu.evaluation.coco_eval import CocoEvalNP
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        m = (rng.rand(23, 17) > 0.6).astype(np.uint8)
+        rle = encode_mask(m)
+        np.testing.assert_array_equal(decode_rle(rle), m)
+
+
+def test_rle_string_known_value():
+    """pycocotools-compatible varint coding survives negative deltas."""
+    counts = [0, 5, 100, 3, 250, 7]
+    s = counts_to_string(counts)
+    assert string_to_counts(s) == counts
+    # large values exercise multi-char varints
+    counts2 = [100000, 1, 99999, 2]
+    assert string_to_counts(counts_to_string(counts2)) == counts2
+
+
+def test_polygon_rasterization():
+    # full-image square
+    m = polygons_to_mask([[0, 0, 10, 0, 10, 10, 0, 10]], 12, 12)
+    assert m[5, 5] == 1
+    assert m[11, 11] == 0
+    assert m.sum() >= 100  # ~10x10 square
+
+
+def _ann(img, cat, box, score=None, iscrowd=0, ann_id=[0]):
+    ann_id[0] += 1
+    a = {
+        "id": ann_id[0],
+        "image_id": img,
+        "category_id": cat,
+        "bbox": list(box),
+        "area": box[2] * box[3],
+        "iscrowd": iscrowd,
+    }
+    if score is not None:
+        a["score"] = score
+    return a
+
+
+def test_perfect_predictions_give_ap_100():
+    gts = [
+        _ann(1, 1, [10, 10, 30, 30]),
+        _ann(1, 1, [60, 20, 20, 25]),
+        _ann(2, 1, [5, 5, 40, 40]),
+    ]
+    dts = [
+        _ann(1, 1, [10, 10, 30, 30], score=0.9),
+        _ann(1, 1, [60, 20, 20, 25], score=0.8),
+        _ann(2, 1, [5, 5, 40, 40], score=0.95),
+    ]
+    res = CocoEvalNP(gts, dts, img_ids=[1, 2], cat_ids=[1]).run()
+    assert abs(res["AP"] - 100.0) < 1e-6
+    assert abs(res["AP50"] - 100.0) < 1e-6
+
+
+def test_misses_and_false_positives_lower_ap():
+    gts = [_ann(1, 1, [10, 10, 30, 30]), _ann(1, 1, [60, 20, 20, 25])]
+    dts = [
+        _ann(1, 1, [10, 10, 30, 30], score=0.9),  # hit
+        _ann(1, 1, [200, 200, 10, 10], score=0.8),  # FP
+    ]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1]).run()
+    # recall caps at 0.5; 101-pt AP ≈ 50 (for recall<=0.5 precision 1.0)
+    assert 45.0 < res["AP50"] <= 51.0
+
+
+def test_localization_quality_affects_high_iou_thresholds():
+    gts = [_ann(1, 1, [10, 10, 40, 40])]
+    # IoU ≈ 0.68 detection: counts at 0.5 but not at 0.75
+    dts = [_ann(1, 1, [16, 16, 40, 40], score=0.9)]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1]).run()
+    assert res["AP50"] > 90.0
+    assert res["AP75"] < 10.0
+
+
+def test_crowd_gt_not_penalized():
+    gts = [
+        _ann(1, 1, [10, 10, 30, 30]),
+        _ann(1, 1, [100, 100, 50, 50], iscrowd=1),
+    ]
+    dts = [
+        _ann(1, 1, [10, 10, 30, 30], score=0.9),
+        _ann(1, 1, [105, 105, 40, 40], score=0.8),  # inside crowd → ignored
+    ]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1]).run()
+    assert abs(res["AP50"] - 100.0) < 1e-6
+
+
+def test_segm_iou_path():
+    from afigan_tpu.evaluation.rle import encode_mask
+
+    m1 = np.zeros((50, 50), np.uint8)
+    m1[10:30, 10:30] = 1
+    gts = [dict(_ann(1, 1, [10, 10, 20, 20]), segmentation=encode_mask(m1))]
+    dts = [dict(_ann(1, 1, [10, 10, 20, 20], score=0.9), segmentation=encode_mask(m1))]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1], iou_type="segm").run()
+    assert abs(res["AP"] - 100.0) < 1e-6
