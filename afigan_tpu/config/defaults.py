@@ -67,6 +67,9 @@ _C.MODEL.FPN.IN_FEATURES = []
 _C.MODEL.FPN.OUT_CHANNELS = 256
 _C.MODEL.FPN.NORM = ""
 _C.MODEL.FPN.FUSE_TYPE = "sum"
+# "maxpool" (RCNN p6) or "p6p7" (RetinaNet/FCOS extra convs)
+_C.MODEL.FPN.TOP_BLOCK = "maxpool"
+_C.MODEL.FPN.TOP_BLOCK_IN_FEATURE = "p5"
 
 _C.MODEL.BIFPN = CN()
 _C.MODEL.BIFPN.IN_FEATURES = []

@@ -77,19 +77,19 @@ def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
         tx, _ = build_optimizer(cfg, state.params, _frozen_predicates(cfg))
 
         def loss_fn(params):
-            variables = {"params": params}
-            mutable = []
             if state.stats:
-                variables["batch_stats"] = state.stats
-                mutable = ["batch_stats"]
-            out = det.apply(
-                variables, batch["image"], batch["image_sizes"], batch["gt"],
-                rngs={"sampling": rng}, mutable=mutable,
-            )
-            if mutable:
-                losses, new_stats = out
+                losses, mutated = det.apply(
+                    {"params": params, "batch_stats": state.stats},
+                    batch["image"], batch["image_sizes"], batch["gt"],
+                    rngs={"sampling": rng}, mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
             else:
-                losses, new_stats = out, state.stats
+                losses = det.apply(
+                    {"params": params}, batch["image"], batch["image_sizes"],
+                    batch["gt"], rngs={"sampling": rng},
+                )
+                new_stats = state.stats
             total = sum(jax.tree.leaves(losses))
             return total, (losses, new_stats)
 

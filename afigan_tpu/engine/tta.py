@@ -1,0 +1,98 @@
+"""Test-time augmentation — multi-scale + flip inference (SURVEY §2.2 TTA).
+
+The reference's GeneralizedRCNNWithTTA (ref run_net.py:51-66, gated on
+TEST.AUG.*): run the detector at TEST.AUG.MIN_SIZES (+ horizontal flip),
+map all detections back to original image coordinates, merge with
+class-aware NMS, keep TEST.DETECTIONS_PER_IMAGE. Box-level TTA (the "†"
+rows of the README table are box AP with multi-scale testing).
+
+TPU note: every (scale, flip) pair is its own static shape → its own
+compiled executable; shapes repeat across the dataset so each compiles
+once. Masks are produced by the base-scale forward on merged boxes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.transforms import test_transform
+from ..evaluation.coco_eval import CocoEvaluator
+from ..ops.image_list import choose_bucket, pad_to_canvas
+from ..ops import batched_nms_padded
+from .inference import rescale_boxes
+
+
+def _forward_one(apply_fn, variables, img: np.ndarray, cfg):
+    h, w = img.shape[:2]
+    canvas = choose_bucket(h, w, cfg.TPU.IMAGE_BUCKETS, 64)
+    padded = pad_to_canvas(img.astype(np.float32), canvas)
+    dets, masks = apply_fn(
+        variables,
+        jnp.asarray(padded[None]),
+        jnp.asarray([[h, w]], jnp.int32),
+    )
+    return (
+        np.asarray(dets.boxes)[0],
+        np.asarray(dets.scores)[0],
+        np.asarray(dets.classes)[0],
+        np.asarray(dets.valid)[0],
+    )
+
+
+def run_tta_inference(cfg, model, variables, dataset,
+                      max_images=None) -> Dict[str, Dict[str, float]]:
+    from ..data.coco import read_image
+
+    evaluator = CocoEvaluator(dataset, tasks=("bbox",))
+    apply_fn = jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))
+
+    merge_nms = jax.jit(
+        lambda b, s, c, v: batched_nms_padded(
+            b, s, c, cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+            cfg.TEST.DETECTIONS_PER_IMAGE, valid=v,
+        )
+    )
+
+    for n, rec in enumerate(dataset.records):
+        if max_images is not None and n >= max_images:
+            break
+        img = read_image(rec["file_name"], cfg.INPUT.FORMAT)
+        oh, ow = img.shape[:2]
+
+        all_boxes, all_scores, all_classes, all_valid = [], [], [], []
+        for min_size in cfg.TEST.AUG.MIN_SIZES:
+            tf = test_transform(oh, ow, min_size, cfg.TEST.AUG.MAX_SIZE)
+            resized = tf.apply_image(img)
+            variants = [(resized, False)]
+            if cfg.TEST.AUG.FLIP:
+                variants.append((np.ascontiguousarray(resized[:, ::-1]), True))
+            for image_v, flipped in variants:
+                b, s, c, v = _forward_one(apply_fn, variables, image_v, cfg)
+                b = rescale_boxes(b, image_v.shape[:2], (oh, ow))
+                if flipped:
+                    x1 = ow - b[:, 2]
+                    x2 = ow - b[:, 0]
+                    b = np.stack([x1, b[:, 1], x2, b[:, 3]], axis=1)
+                all_boxes.append(b)
+                all_scores.append(s)
+                all_classes.append(c)
+                all_valid.append(v)
+
+        boxes = np.concatenate(all_boxes)
+        scores = np.concatenate(all_scores)
+        classes = np.concatenate(all_classes)
+        valid = np.concatenate(all_valid)
+        mb, ms, mi, mv = merge_nms(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.asarray(classes), jnp.asarray(valid),
+        )
+        evaluator.process(
+            [rec["image_id"]],
+            np.asarray(mb)[None], np.asarray(ms)[None],
+            np.asarray(classes)[np.asarray(mi)][None], np.asarray(mv)[None],
+        )
+    return evaluator.evaluate()

@@ -69,7 +69,8 @@ def _make_backbone_builder(bottom_up_fn, pyramid: str, interp: str):
         dtype = dtype or _dtype_of(cfg)
         bottom_up = bottom_up_fn(cfg, train=train, axis_name=axis_name, dtype=dtype)
         if pyramid == "fpn":
-            pyr = FPN(name="fpn", top_block="maxpool",
+            pyr = FPN(name="fpn", top_block=cfg.MODEL.FPN.TOP_BLOCK,
+                      top_block_in_feature=cfg.MODEL.FPN.TOP_BLOCK_IN_FEATURE,
                       **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
         elif pyramid == "pafpn":
             pyr = PAFPN(name="fpn", **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
@@ -102,9 +103,11 @@ BACKBONE_REGISTRY: Dict[str, Callable] = {
     "build_resnet_pafpn_sr_backbone": _make_backbone_builder(build_resnet, "pafpn", "afi"),
     "build_resnest_pafpn_sr_backbone": _make_backbone_builder(build_resnest, "pafpn", "afi"),
     "build_swint_bifpn_sr_backbone": _make_backbone_builder(build_swin, "bifpn", "afi"),
+    "build_resnet_bifpn_sr_backbone": _make_backbone_builder(build_resnet, "bifpn", "afi"),
     # non-AFI baselines for ablation / guide variants
     "build_resnet_pafpn_backbone": _make_backbone_builder(build_resnet, "pafpn", "nearest"),
     "build_swint_bifpn_backbone": _make_backbone_builder(build_swin, "bifpn", "nearest"),
+    "build_resnet_bifpn_backbone": _make_backbone_builder(build_resnet, "bifpn", "nearest"),
 }
 
 
@@ -209,6 +212,10 @@ def build_model(cfg, train: bool = False, axis_name=None,
             return_features=return_features or arch == "GeneralizedRCNN_AFExtractor",
             **_rcnn_kwargs(cfg, train, axis_name, dtype),
         )
+    if arch == "FCOS":
+        from .fcos import build_fcos
+
+        return build_fcos(cfg, train=train, axis_name=axis_name)
     raise KeyError(f"Unknown META_ARCHITECTURE: {arch}")
 
 

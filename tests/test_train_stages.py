@@ -1,0 +1,183 @@
+"""Stage 1/2/3 train-step tests: loss math, param updates, multi-device DP.
+
+Multi-device tests run on the virtual 8-CPU mesh (conftest), checking the
+TPU-native data-parallel substrate: shard_map + psum grads must produce
+the same params as single-device training on the concatenated batch.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from afigan_tpu.config import get_cfg
+from afigan_tpu.engine.stage1 import init_stage1_state, make_stage1_train_step
+from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
+from afigan_tpu.models.roi_heads import GroundTruth
+from afigan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def _stage1_cfg():
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.AFI.IN_CHANNELS = 16
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    cfg.MODEL.GUIDE_BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+    cfg.SOLVER.BASE_LR = 0.01
+    return cfg
+
+
+def _stage1_batch(b=1, h=64, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "image_x0.5": jnp.asarray(
+            rng.rand(b, h // 2, w // 2, 3).astype(np.float32) * 255
+        ),
+    }
+
+
+def test_stage1_step_updates_both_models():
+    cfg = _stage1_cfg()
+    state, guide_vars = init_stage1_state(cfg, jax.random.PRNGKey(0), sample_hw=(16, 16))
+    step = make_stage1_train_step(cfg)
+    batch = _stage1_batch()
+    # the step donates its input state → snapshot params before stepping
+    old_g = jax.device_get(state.g_params)
+    old_d = jax.device_get(state.d_params)
+    new_state, metrics = step(state, guide_vars, batch)
+    state = state._replace(g_params=old_g, d_params=old_d)
+
+    assert int(new_state.step) == 1
+    for k in ["d_loss", "g_loss", "content_loss_p2", "adv_loss_p6"]:
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # both G and D must move
+    g_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.g_params, new_state.g_params),
+    )
+    d_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.d_params, new_state.d_params),
+    )
+    assert g_delta > 0 and d_delta > 0
+    # adversarial gradient must reach G (quirk Q3 fixed): with adv weight
+    # dominated by content loss, just check finite + nonzero metrics
+    assert float(metrics["adv_loss_p2"]) > 0
+
+
+def test_stage1_multidevice_matches_singledevice():
+    cfg = _stage1_cfg()
+    n = 4
+    mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+    state, guide_vars = init_stage1_state(cfg, jax.random.PRNGKey(0), sample_hw=(16, 16))
+
+    batch = _stage1_batch(b=n, seed=1)
+
+    # single-device full batch
+    step1 = make_stage1_train_step(cfg)
+    s1, m1 = step1(jax.tree.map(jnp.copy, state), guide_vars, batch)
+
+    # sharded
+    stepN = make_stage1_train_step(cfg, mesh=mesh)
+    sN, mN = stepN(
+        replicate(mesh, jax.tree.map(jnp.copy, state)),
+        replicate(mesh, guide_vars),
+        shard_batch(mesh, batch),
+    )
+
+    # loss metrics agree (pmean of per-shard means == full-batch mean here
+    # because shards are equal-sized)
+    np.testing.assert_allclose(
+        float(m1["content_loss_p2"]), float(mN["content_loss_p2"]), rtol=2e-3
+    )
+    # G params after one step agree (psum-mean grads == full-batch grads),
+    # modulo BatchNorm batch-stat differences in D's loss — G's content
+    # term dominates; allow small tolerance.
+    a = jax.tree.leaves(s1.g_params)[0]
+    b = jax.tree.leaves(sN.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def _stage3_cfg():
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/repo/configs/Base-RCNN-FPN-AFIGAN.yaml")
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.AFI.IN_CHANNELS = 64
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.SOLVER.BASE_LR = 0.001
+    return cfg
+
+
+def _det_batch(b=1, h=64, w=64, m=4, seed=0):
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, 0] = [8, 8, 40, 32]
+    boxes[:, 1] = [20, 24, 60, 56]
+    return {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.asarray([[h, w]] * b, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.zeros((b, m), jnp.int32),
+            valid=jnp.asarray(np.array([[True, True, False, False]] * b)),
+            masks=jnp.asarray(rng.rand(b, m, 28, 28).astype(np.float32)),
+        ),
+    }
+
+
+def test_stage3_step_and_afi_freeze():
+    cfg = _stage3_cfg()
+    cfg.MODEL.AFI_FREEZE = True
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64), max_gt=4)
+    step = make_stage3_train_step(cfg)
+    batch = _det_batch()
+    old_params = jax.device_get(state.params)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state = state._replace(params=old_params)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # srf_module params must be FROZEN (ref fpn_sr.py:67-69)
+    old_srf = state.params["backbone"]["pyramid"]["srf_module"]
+    new_srf = new_state.params["backbone"]["pyramid"]["srf_module"]
+    for a, b in zip(jax.tree.leaves(old_srf), jax.tree.leaves(new_srf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # frozen backbone stages (FREEZE_AT=2): stem + res2 unchanged
+    old_res2 = state.params["backbone"]["bottom_up"]["res2/block0"]
+    new_res2 = new_state.params["backbone"]["bottom_up"]["res2/block0"]
+    for a, b in zip(jax.tree.leaves(old_res2), jax.tree.leaves(new_res2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # but the heads must move
+    a = state.params["roi_heads"]["box_head"]["fc1"]["kernel"]
+    b = new_state.params["roi_heads"]["box_head"]["fc1"]["kernel"]
+    assert float(jnp.abs(a - b).max()) > 0
+
+
+def test_stage3_multidevice_runs():
+    cfg = _stage3_cfg()
+    n = 2
+    mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64), max_gt=4)
+    step = make_stage3_train_step(cfg, mesh=mesh)
+    batch = _det_batch(b=n)
+    new_state, metrics = step(
+        replicate(mesh, state), shard_batch(mesh, batch), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == 1
