@@ -48,24 +48,45 @@ class ResidualDenseBlock(nn.Module):
     growth_rate: int = 32
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
+    fused: bool = False  # use the Pallas fused-chain kernel (inference)
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         init = kaiming_normal_scaled(0.1)
 
-        def dense_conv(h, feats, name):
+        def dense_conv_module(in_feats, out_feats, name):
             return Conv(
-                feats, kernel_size=3, padding=1, use_bias=False,
+                out_feats, kernel_size=3, padding=1, use_bias=False,
                 kernel_init=init, dtype=self.dtype, name=name,
-            )(h)
+            )
 
         g = self.growth_rate
-        c1 = leaky_relu02(dense_conv(x, g, "conv1"))
-        c2 = leaky_relu02(dense_conv(jnp.concatenate([x, c1], -1), g, "conv2"))
-        c3 = leaky_relu02(dense_conv(jnp.concatenate([x, c1, c2], -1), g, "conv3"))
-        c4 = leaky_relu02(dense_conv(jnp.concatenate([x, c1, c2, c3], -1), g, "conv4"))
-        c5 = dense_conv(jnp.concatenate([x, c1, c2, c3, c4], -1), c, "conv5")
+        convs = [
+            dense_conv_module(c + i * g, g if i < 4 else c, f"conv{i+1}")
+            for i in range(5)
+        ]
+
+        if self.fused and not self.is_initializing():
+            # Pallas fused chain (ops/pallas/afi_rdb.py): identical math,
+            # no HBM-materialized concatenations. Reads the SAME params the
+            # unfused path creates (init always traces unfused).
+            from ...ops.pallas import fused_rdb
+
+            p = self.variables["params"]
+            kernels = [p[f"conv{i+1}"]["conv"]["kernel"] for i in range(5)]
+            return fused_rdb(
+                x, kernels, self.residual_scale
+            ).astype(self.dtype)
+
+        return self._unfused(x, convs)
+
+    def _unfused(self, x, convs):
+        c1 = leaky_relu02(convs[0](x))
+        c2 = leaky_relu02(convs[1](jnp.concatenate([x, c1], -1)))
+        c3 = leaky_relu02(convs[2](jnp.concatenate([x, c1, c2], -1)))
+        c4 = leaky_relu02(convs[3](jnp.concatenate([x, c1, c2, c3], -1)))
+        c5 = convs[4](jnp.concatenate([x, c1, c2, c3, c4], -1))
         return x + c5 * self.residual_scale
 
 
@@ -74,13 +95,15 @@ class ResidualInResidual(nn.Module):
     growth_rate: int = 32
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = x
         for i in range(self.n_rdb):
             y = ResidualDenseBlock(
-                self.growth_rate, self.residual_scale, self.dtype, name=f"rdb{i}"
+                self.growth_rate, self.residual_scale, self.dtype,
+                fused=self.fused, name=f"rdb{i}",
             )(y)
         return x + y * self.residual_scale
 
@@ -93,6 +116,7 @@ class AFIGenerator(nn.Module):
     growth_rate: int = 32
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -108,7 +132,7 @@ class AFIGenerator(nn.Module):
         )
         y = ResidualInResidual(
             self.n_rdb, self.growth_rate, self.residual_scale, self.dtype,
-            name="generators_0/rir",
+            fused=self.fused, name="generators_0/rir",
         )(y)
         y = leaky_relu02(
             Conv(self.in_channels, 3, padding=1, kernel_init=init,

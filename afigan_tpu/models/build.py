@@ -58,9 +58,22 @@ def _fpn_kwargs(cfg, interp, train, axis_name, dtype):
         afi_n_rdb=cfg.MODEL.AFI.N_RDB,
         afi_growth_rate=cfg.MODEL.AFI.GROWTH_RATE,
         afi_residual_scale=cfg.MODEL.AFI.RESIDUAL_SCALE,
+        afi_fused=_use_fused_afi(cfg, train),
         train=train,
         axis_name=axis_name,
         dtype=dtype,
+    )
+
+
+def _use_fused_afi(cfg, train: bool) -> bool:
+    # The Pallas fused-RDB kernel is forward-only (no VJP yet) and
+    # TPU-compiled; use it at inference on TPU backends.
+    import jax
+
+    return (
+        bool(cfg.MODEL.AFI.FUSED_KERNEL)
+        and not train
+        and jax.default_backend() not in ("cpu",)
     )
 
 
@@ -85,6 +98,7 @@ def _make_backbone_builder(bottom_up_fn, pyramid: str, interp: str):
                 afi_n_rdb=cfg.MODEL.AFI.N_RDB,
                 afi_growth_rate=cfg.MODEL.AFI.GROWTH_RATE,
                 afi_residual_scale=cfg.MODEL.AFI.RESIDUAL_SCALE,
+                afi_fused=_use_fused_afi(cfg, train),
                 train=train,
                 axis_name=axis_name,
                 dtype=dtype,

@@ -54,6 +54,7 @@ class FPN(nn.Module):
     afi_n_rdb: int = 3
     afi_growth_rate: int = 32
     afi_residual_scale: float = 0.2
+    afi_fused: bool = False
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -66,6 +67,7 @@ class FPN(nn.Module):
                 growth_rate=self.afi_growth_rate,
                 residual_scale=self.afi_residual_scale,
                 dtype=self.dtype,
+                fused=self.afi_fused,
                 name="srf_module",
             )
             return srf
