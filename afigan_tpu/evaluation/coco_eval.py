@@ -58,17 +58,15 @@ def _bbox_iou_matrix(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.
 
 
 def _segm_iou_matrix(dt_rles: List, gt_rles: List, iscrowd: np.ndarray) -> np.ndarray:
+    """Decode-free RLE IoU (run-merge walk; C++ via native/, numpy fallback)."""
+    from .rle import rle_iou
+
     if not dt_rles or not gt_rles:
         return np.zeros((len(dt_rles), len(gt_rles)))
-    dms = [decode_rle(r).astype(bool) for r in dt_rles]
-    gms = [decode_rle(r).astype(bool) for r in gt_rles]
-    out = np.zeros((len(dms), len(gms)))
-    for j, gm in enumerate(gms):
-        ga = gm.sum()
-        for i, dm in enumerate(dms):
-            inter = np.logical_and(dm, gm).sum()
-            denom = dm.sum() if iscrowd[j] else dm.sum() + ga - inter
-            out[i, j] = inter / denom if denom > 0 else 0.0
+    out = np.zeros((len(dt_rles), len(gt_rles)))
+    for j, g in enumerate(gt_rles):
+        for i, d in enumerate(dt_rles):
+            out[i, j] = rle_iou(d, g, bool(iscrowd[j]))
     return out
 
 

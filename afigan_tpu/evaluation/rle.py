@@ -21,6 +21,11 @@ import numpy as np
 
 def mask_to_rle_counts(mask: np.ndarray) -> List[int]:
     """Binary (H, W) mask -> RLE counts (column-major, zeros first)."""
+    from ..native import native_encode_counts
+
+    native = native_encode_counts(np.asarray(mask))
+    if native is not None:
+        return native
     flat = np.asfortranarray(mask).ravel(order="F").astype(np.uint8)
     n = flat.size
     if n == 0:
@@ -33,6 +38,11 @@ def mask_to_rle_counts(mask: np.ndarray) -> List[int]:
 
 
 def rle_counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
+    from ..native import native_decode
+
+    native = native_decode(list(counts), h, w)
+    if native is not None:
+        return native
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -46,6 +56,11 @@ def rle_counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
 
 def counts_to_string(counts: Sequence[int]) -> str:
     """pycocotools rleToString: delta + base-32 varint, chars offset 48."""
+    from ..native import native_counts_to_string
+
+    native = native_counts_to_string(list(counts))
+    if native is not None:
+        return native
     out = []
     for i, cnt in enumerate(counts):
         x = int(cnt)
@@ -63,6 +78,11 @@ def counts_to_string(counts: Sequence[int]) -> str:
 
 
 def string_to_counts(s: str) -> List[int]:
+    from ..native import native_string_to_counts
+
+    native = native_string_to_counts(s)
+    if native is not None:
+        return native
     counts: List[int] = []
     i = 0
     while i < len(s):
@@ -107,16 +127,52 @@ def rle_area(rle: Dict) -> int:
     return int(sum(counts[1::2]))
 
 
+def _counts_of(rle: Dict) -> List[int]:
+    counts = rle["counts"]
+    if isinstance(counts, bytes):
+        counts = counts.decode("ascii")
+    if isinstance(counts, str):
+        counts = string_to_counts(counts)
+    return list(counts)
+
+
 def rle_iou(dt: Dict, gt: Dict, iscrowd: bool = False) -> float:
-    """IoU between two RLE masks (decode-based; exact)."""
-    a = decode_rle(dt).astype(bool)
-    b = decode_rle(gt).astype(bool)
-    inter = np.logical_and(a, b).sum()
-    if iscrowd:
-        denom = a.sum()
-    else:
-        denom = np.logical_or(a, b).sum()
-    return float(inter) / float(denom) if denom > 0 else 0.0
+    """IoU between two RLE masks (decode-free run-merge; exact)."""
+    a = _counts_of(dt)
+    b = _counts_of(gt)
+    from ..native import native_rle_iou
+
+    native = native_rle_iou(a, b, iscrowd)
+    if native is not None:
+        return native
+    return _rle_iou_merge_py(a, b, iscrowd)
+
+
+def _rle_iou_merge_py(a: List[int], b: List[int], iscrowd: bool) -> float:
+    area_a = sum(a[1::2])
+    area_b = sum(b[1::2])
+    inter = 0
+    ia = ib = 0
+    pa, pb = a[0], b[0]
+    va = vb = 0
+    pos = 0
+    while ia < len(a) and ib < len(b):
+        nxt = min(pa, pb)
+        if va and vb:
+            inter += nxt - pos
+        pos = nxt
+        if pa == nxt:
+            ia += 1
+            va ^= 1
+            if ia < len(a):
+                pa += a[ia]
+        if pb == nxt:
+            ib += 1
+            vb ^= 1
+            if ib < len(b):
+                pb += b[ib]
+    union = area_a if iscrowd else area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
 
 
 def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
