@@ -31,8 +31,14 @@ _TRANSLATORS: Dict[str, Callable] = {
 
 
 def load_weights(path: str, variables: Dict, kind: str = "detector",
-                 imagenet_backbone_only: bool = False) -> Dict:
-    """Load ``path`` into (a copy of) ``variables``; unmatched keys logged."""
+                 imagenet_backbone_only: bool = False,
+                 frozen_bn: bool = True) -> Dict:
+    """Load ``path`` into (a copy of) ``variables``; unmatched keys logged.
+
+    ``frozen_bn``: backbone norms are FrozenBN (stats live in params);
+    set False for SyncBN/BN backbones (ResNeSt configs) so running stats
+    land in the batch_stats collection.
+    """
     if not path:
         return variables
     if path.endswith(".msgpack"):
@@ -44,8 +50,13 @@ def load_weights(path: str, variables: Dict, kind: str = "detector",
                       "Generators.", "Discriminators.")) for k in state
     ):
         imagenet_backbone_only = True
+    translate = _TRANSLATORS[kind]
+    if kind == "detector":
+        import functools
+
+        translate = functools.partial(translate_d2_key, frozen_bn=frozen_bn)
     loaded, report = state_dict_to_variables(
-        state, variables, translate=_TRANSLATORS[kind],
+        state, variables, translate=translate,
         imagenet_backbone_only=imagenet_backbone_only,
     )
     logger.info(

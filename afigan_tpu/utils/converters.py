@@ -203,15 +203,41 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
             coll = "batch_stats"
         return coll, prefix_path + ("norm", leaf), tf
 
-    # ---- backbone.bottom_up (ResNet) ----
-    m = re.match(r"^backbone\.bottom_up\.stem\.conv1\.(.+)$", k)
+    # ---- backbone.bottom_up (ResNet / ResNeSt deep stem) ----
+    m = re.match(r"^backbone\.bottom_up\.stem\.(conv1(?:_\d)?)\.(.+)$", k)
     if m:
-        rest = m.group(1)
-        base = ("backbone", "bottom_up", "stem", "conv1")
+        conv_name, rest = m.groups()
+        base = ("backbone", "bottom_up", "stem", conv_name)
         if rest == "weight":
             return "params", base + ("conv", "kernel"), t_conv
         if rest in _NORM_SUFFIX:
             return norm_dest(base, rest)
+    # ResNeSt SplAtConv2d inside conv2 (ref splat.py:42-51):
+    #   conv2.conv/bn0 → conv2/conv/{conv,norm}; conv2.fc1/bn1 → conv2/fc1;
+    #   conv2.fc2 → conv2/fc2
+    m = re.match(
+        r"^backbone\.bottom_up\.res(\d)\.(\d+)\.conv2\.(conv|bn0|fc1|bn1|fc2)\.(.+)$", k
+    )
+    if m:
+        stage, block, part, rest = m.groups()
+        blk = ("backbone", "bottom_up", f"res{stage}/block{block}", "conv2")
+        if part == "conv":
+            if rest == "weight":
+                return "params", blk + ("conv", "conv", "kernel"), t_conv
+            if rest == "bias":
+                return "params", blk + ("conv", "conv", "bias"), t_id
+            if rest in _NORM_SUFFIX:
+                return norm_dest(blk + ("conv",), rest)
+        if part == "bn0" and f"norm.{rest}" in [f"norm.{x}" for x in
+                                                ("weight", "bias", "running_mean", "running_var")]:
+            return norm_dest(blk + ("conv",), f"norm.{rest}")
+        if part in ("fc1", "fc2"):
+            if rest == "weight":
+                return "params", blk + (part, "conv", "kernel"), t_conv
+            if rest == "bias":
+                return "params", blk + (part, "conv", "bias"), t_id
+        if part == "bn1":
+            return norm_dest(blk + ("fc1",), f"norm.{rest}")
     m = re.match(
         r"^backbone\.bottom_up\.res(\d)\.(\d+)\.(conv\d|shortcut)\.(.+)$", k
     )
@@ -223,6 +249,69 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
             return "params", base + ("conv", "kernel"), t_conv
         if rest in _NORM_SUFFIX:
             return norm_dest(base, rest)
+
+    # ---- Swin (ref swin_transformer.py naming) ----
+    m = re.match(r"^backbone\.bottom_up\.patch_embed\.proj\.(weight|bias)$", k)
+    if m:
+        wb = m.group(1)
+        return (
+            "params",
+            ("backbone", "bottom_up", "patch_embed",
+             "kernel" if wb == "weight" else "bias"),
+            t_conv if wb == "weight" else t_id,
+        )
+    m = re.match(r"^backbone\.bottom_up\.patch_embed\.norm\.(weight|bias)$", k)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return "params", ("backbone", "bottom_up", "patch_norm", leaf), t_id
+    m = re.match(r"^backbone\.bottom_up\.norm(\d)\.(weight|bias)$", k)
+    if m:
+        i, wb = m.groups()
+        leaf = "scale" if wb == "weight" else "bias"
+        return (
+            "params",
+            ("backbone", "bottom_up", f"norm_stage{int(i)+2}", leaf),
+            t_id,
+        )
+    m = re.match(
+        r"^backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.(.+)$", k
+    )
+    if m:
+        i, j, rest = m.groups()
+        base = ("backbone", "bottom_up", f"stage{int(i)+2}/block{j}")
+        mm = re.match(r"^norm([12])\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(2) == "weight" else "bias"
+            return "params", base + (f"norm{mm.group(1)}", leaf), t_id
+        mm = re.match(r"^attn\.(qkv|proj)\.(weight|bias)$", rest)
+        if mm:
+            layer, wb = mm.groups()
+            return (
+                "params",
+                base + ("attn", layer, "kernel" if wb == "weight" else "bias"),
+                t_linear if wb == "weight" else t_id,
+            )
+        if rest == "attn.relative_position_bias_table":
+            return "params", base + ("attn", "relative_position_bias_table"), t_id
+        mm = re.match(r"^mlp\.fc([12])\.(weight|bias)$", rest)
+        if mm:
+            fi, wb = mm.groups()
+            return (
+                "params",
+                base + (f"mlp_fc{fi}", "kernel" if wb == "weight" else "bias"),
+                t_linear if wb == "weight" else t_id,
+            )
+    m = re.match(
+        r"^backbone\.bottom_up\.layers\.(\d)\.downsample\.(reduction\.weight|norm\.weight|norm\.bias)$",
+        k,
+    )
+    if m:
+        i, rest = m.groups()
+        base = ("backbone", "bottom_up", f"stage{int(i)+2}/downsample")
+        if rest == "reduction.weight":
+            return "params", base + ("reduction", "kernel"), t_linear
+        leaf = "scale" if rest == "norm.weight" else "bias"
+        return "params", base + ("norm", leaf), t_id
 
     # ---- FPN laterals/outputs (+ PAFPN names) ----
     m = re.match(

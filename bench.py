@@ -70,6 +70,18 @@ def main():
     # warmup / compile
     state, metrics = step(state, data, key)
     jax.block_until_ready(metrics)
+    if os.environ.get("BENCH_DEBUG"):
+        m = jax.device_get(metrics)
+        print("warmup metrics:", {k: float(v) for k, v in m.items()},
+              file=sys.stderr)
+        try:
+            lowered = step.lower(state, data, key)
+            cost = lowered.compile().cost_analysis()
+            if cost:
+                print(f"XLA flops/step: {cost.get('flops', 0):.3e}",
+                      file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print("cost analysis unavailable:", e, file=sys.stderr)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
