@@ -284,7 +284,9 @@ _C.TPU = CN()
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Padding buckets for static image shapes: each (H, W) canvas; images are
 # resized per INPUT.* then padded up to the smallest bucket that fits.
-_C.TPU.IMAGE_BUCKETS = [[704, 704], [704, 1152], [1152, 704], [800, 1344], [1344, 800]]
+# All dims divisible by 64 so the x0.5 dual-scale pipeline still yields an
+# exactly-2x-contiguous pyramid (the d2 size_divisibility requirement).
+_C.TPU.IMAGE_BUCKETS = [[704, 704], [704, 1152], [1152, 704], [832, 1344], [1344, 832]]
 # Fixed per-image box capacity for ground-truth padding.
 _C.TPU.MAX_GT_BOXES = 100
 # Per-instance GT mask canvas (rasterized once on host, crop-resized to

@@ -46,9 +46,18 @@ def _forward_one(apply_fn, variables, img: np.ndarray, cfg):
 def run_tta_inference(cfg, model, variables, dataset,
                       max_images=None) -> Dict[str, Dict[str, float]]:
     from ..data.coco import read_image
+    from ..data.transforms import test_transform as base_tf
+    from ..models.box_head import Detections
+    from .inference import paste_masks
 
-    evaluator = CocoEvaluator(dataset, tasks=("bbox",))
+    tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+    evaluator = CocoEvaluator(dataset, tasks=tasks)
     apply_fn = jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))
+    mask_fn = jax.jit(
+        lambda v, images, sizes, dets: model.apply(
+            v, images, sizes, given_dets=dets
+        )
+    )
 
     merge_nms = jax.jit(
         lambda b, s, c, v: batched_nms_padded(
@@ -90,9 +99,44 @@ def run_tta_inference(cfg, model, variables, dataset,
             jnp.asarray(boxes), jnp.asarray(scores),
             jnp.asarray(classes), jnp.asarray(valid),
         )
+        merged_boxes = np.asarray(mb)
+        merged_scores = np.asarray(ms)
+        merged_classes = np.asarray(classes)[np.asarray(mi)]
+        merged_valid = np.asarray(mv)
+
+        full_masks = None
+        if cfg.MODEL.MASK_ON:
+            # mask branch on merged boxes at the base test scale
+            # (d2 GeneralizedRCNNWithTTA: masks from merged boxes)
+            tfb = base_tf(oh, ow, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+            base_img = tfb.apply_image(img)
+            bh, bw = base_img.shape[:2]
+            canvas = choose_bucket(bh, bw, cfg.TPU.IMAGE_BUCKETS, 64)
+            padded = pad_to_canvas(base_img.astype(np.float32), canvas)
+            # merged boxes are in ORIGINAL coords → rescale to base scale
+            scale_boxes = merged_boxes.copy()
+            scale_boxes[:, 0::2] *= bw / ow
+            scale_boxes[:, 1::2] *= bh / oh
+            dets = Detections(
+                boxes=jnp.asarray(scale_boxes),
+                scores=jnp.asarray(merged_scores),
+                classes=jnp.asarray(merged_classes),
+                valid=jnp.asarray(merged_valid),
+            )
+            dets_b = jax.tree.map(lambda a: a[None], dets)
+            _, masks = mask_fn(
+                variables, jnp.asarray(padded[None]),
+                jnp.asarray([[bh, bw]], jnp.int32), dets_b,
+            )
+            pasted = paste_masks(
+                np.asarray(masks)[0], merged_boxes, merged_valid, oh, ow
+            )
+            full_masks = [pasted]
+
         evaluator.process(
             [rec["image_id"]],
-            np.asarray(mb)[None], np.asarray(ms)[None],
-            np.asarray(classes)[np.asarray(mi)][None], np.asarray(mv)[None],
+            merged_boxes[None], merged_scores[None],
+            merged_classes[None], merged_valid[None],
+            masks=full_masks,
         )
     return evaluator.evaluate()

@@ -74,7 +74,12 @@ class CascadeROIHeads(StandardROIHeads):
         proposals: RPNOutput,
         image_sizes: jnp.ndarray,
         gt: Optional[GroundTruth] = None,
+        given_dets=None,
     ):
+        if not self.train and given_dets is not None:
+            masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
+            return given_dets, masks
+
         num_stages = len(self.cascade_ious)
 
         if self.train:

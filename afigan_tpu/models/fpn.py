@@ -102,6 +102,9 @@ class FPN(nn.Module):
             top_down = interp(prev)
             lateral = Conv(self.out_channels, 1, padding=0,
                            name=f"fpn_lateral{stage}", **conv_kw)(feat)
+            # guard odd-sized pyramids (inputs should be padded to x64;
+            # crop keeps non-conforming shapes working instead of crashing)
+            top_down = top_down[:, : lateral.shape[1], : lateral.shape[2]]
             prev = lateral + top_down
             if self.fuse_type == "avg":
                 prev = prev / 2

@@ -79,6 +79,7 @@ class GeneralizedRCNN(nn.Module):
         images: jnp.ndarray,  # (B, H, W, 3) raw pixels, padded
         image_sizes: jnp.ndarray,  # (B, 2)
         gt: Optional[GroundTruth] = None,
+        given_dets=None,  # TTA: run only the mask branch on these boxes
     ):
         mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
         std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
@@ -133,7 +134,9 @@ class GeneralizedRCNN(nn.Module):
                 return losses, features
             return losses
 
-        dets, masks = self.roi_heads(features, proposals, image_sizes)
+        dets, masks = self.roi_heads(
+            features, proposals, image_sizes, given_dets=given_dets
+        )
         if self.return_features:
             return (dets, masks), features
         return dets, masks

@@ -43,6 +43,7 @@ class PAFPN(FPN):
             td = interp(prev)
             lateral = Conv(self.out_channels, 1, padding=0,
                            name=f"fpn_lateral{stage}", **conv_kw)(feat)
+            td = td[:, : lateral.shape[1], : lateral.shape[2]]
             prev = lateral + td
             if self.fuse_type == "avg":
                 prev = prev / 2

@@ -158,7 +158,14 @@ class StandardROIHeads(nn.Module):
         proposals: RPNOutput,
         image_sizes: jnp.ndarray,
         gt: Optional[GroundTruth] = None,
+        given_dets: Optional[Detections] = None,
     ):
+        # mask-on-given-boxes path (TTA: masks from merged boxes, d2
+        # GeneralizedRCNNWithTTA _rescale_detected_boxes semantics)
+        if not self.train and given_dets is not None:
+            masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
+            return given_dets, masks
+
         box2box = Box2BoxTransform(self.bbox_reg_weights)
         box_head, box_pred = self._box_head()
 

@@ -74,15 +74,27 @@ def nms_keep_mask(
         blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block_size, 4))
         blk_keep = jax.lax.dynamic_slice(keep, (start,), (block_size,))
 
-        # --- resolve suppression inside the block (sequential, tiny ops) ---
+        # --- resolve suppression inside the block: self-suppression
+        # fixpoint (TF non_max_suppression_padded style). Iterating
+        # k[i] <- valid[i] & ~∃j (k[j] & S[j,i]) stabilizes a growing
+        # prefix each sweep → converges to the exact greedy result in
+        # ≤ chain-depth iterations (typically 2-4) instead of B
+        # sequential element steps.
         iou_bb = pairwise_iou(blk_boxes, blk_boxes)
         col = jnp.arange(block_size)
+        supp_mat = (iou_bb > iou_threshold) & (col[None, :] > col[:, None])
 
-        def inner(i, kb):
-            suppress = kb[i] & (iou_bb[i] > iou_threshold) & (col > i)
-            return kb & ~suppress
+        def cond(state):
+            _, changed = state
+            return changed
 
-        blk_keep = jax.lax.fori_loop(0, block_size, inner, blk_keep)
+        def body(state):
+            kb, _ = state
+            suppressed = jnp.any(kb[:, None] & supp_mat, axis=0)
+            kb_new = blk_keep & ~suppressed
+            return kb_new, jnp.any(kb_new != kb)
+
+        blk_keep, _ = jax.lax.while_loop(cond, body, (blk_keep, jnp.bool_(True)))
         keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
 
         # --- suppress all later boxes in one vectorized shot ---
