@@ -52,7 +52,10 @@ _C.MODEL.AFI.N_RDB = 3
 _C.MODEL.AFI.GROWTH_RATE = 32
 _C.MODEL.AFI.RESIDUAL_SCALE = 0.2
 _C.MODEL.AFI.ADV_LOSS_WEIGHT = 1.0e-3  # ref stage1_trainer.py:411
-_C.MODEL.AFI.FUSED_KERNEL = True  # use the Pallas fused upsample kernel on TPU
+# Pallas fused-RDB kernel (ops/pallas/afi_rdb.py): numerics-exact
+# (interpret-mode tested), but this environment's remote Mosaic compile
+# helper SIGKILLs on it — default off until the compile path is fixed.
+_C.MODEL.AFI.FUSED_KERNEL = False
 
 _C.MODEL.BACKBONE = CN()
 _C.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"

@@ -35,6 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 5  # one pixel per chained 3x3 conv
+PAD = 8  # DMA alignment: Mosaic requires 8-aligned sublane slice sizes,
+# so the input is padded with 8 (not 5) and the kernel trims the extra 3.
 
 
 def _conv3x3_from(buf, w, out_h, out_w, acc=None):
@@ -69,23 +71,26 @@ def _inside_image_mask(ti, tj, tile_h, tile_w, halo, out_h, out_w, h, w):
     rows = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) + col0
     ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
-    return ok[..., None]
+    # NOTE: minor-dim insertion on i1 vectors is unsupported by Mosaic —
+    # cast to f32 BEFORE adding the channel dim.
+    return ok.astype(jnp.float32)[..., None]
 
 
-def _rdb_kernel(x_hbm, w1, w2x, w2c, w3x, w3c, w4x, w4c, w5x, w5c,
+def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
+                w5x, w5c1, w5c2, w5c3, w5c4,
                 out_ref, xs, c1s, c2s, c3s, c4s, dma_sem,
                 *, tile_h, tile_w, channels, growth, h, w, residual_scale):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    # ---- DMA the input tile + halo (input is pre-padded with HALO zeros
-    # on every side, so the window is always in bounds and static-size) ----
+    # ---- DMA the input tile + 8-px apron (8-aligned sizes for Mosaic;
+    # input is pre-padded with PAD zeros on every side) ----
     cp = pltpu.make_async_copy(
         x_hbm.at[
             bi,
-            pl.ds(ti * tile_h, tile_h + 2 * HALO),
-            pl.ds(tj * tile_w, tile_w + 2 * HALO),
+            pl.ds(ti * tile_h, tile_h + 2 * PAD),
+            pl.ds(tj * tile_w, tile_w + 2 * PAD),
             :,
         ],
         xs,
@@ -95,7 +100,8 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c, w3x, w3c, w4x, w4c, w5x, w5c,
     cp.wait()
 
     f32 = jnp.float32
-    xb = xs[...]
+    # logical halo-5 window (value slicing at odd offsets is supported)
+    xb = xs[...][PAD - HALO : -(PAD - HALO), PAD - HALO : -(PAD - HALO), :]
 
     # conv1: x(halo5) -> c1(halo4)
     h1, w1_ = tile_h + 8, tile_w + 8
@@ -106,18 +112,18 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c, w3x, w3c, w4x, w4c, w5x, w5c,
     # conv2: [x, c1](halo4) -> c2(halo3)
     h2, w2_ = tile_h + 6, tile_w + 6
     acc = _conv3x3_from(xb[1:-1, 1:-1, :], w2x[...], h2, w2_)
-    acc = _conv3x3_from(c1s[...], w2c[...], h2, w2_, acc)
+    acc = _conv3x3_from(c1s[...], w2c1[...], h2, w2_, acc)
     c2 = _leaky(acc).reshape(h2, w2_, growth)
     c2 = c2 * _inside_image_mask(ti, tj, tile_h, tile_w, 3, h2, w2_, h, w)
     c2s[...] = c2.astype(xs.dtype)
 
     # conv3: [x, c1, c2](halo3) -> c3(halo2)
+    # (per-input matmul accumulation — Mosaic cannot concat offset slices,
+    # and skipping the concat avoids materializing it anyway)
     h3, w3_ = tile_h + 4, tile_w + 4
     acc = _conv3x3_from(xb[2:-2, 2:-2, :], w3x[...], h3, w3_)
-    acc = _conv3x3_from(
-        jnp.concatenate([c1s[1:-1, 1:-1, :], c2s[...]], axis=-1),
-        w3c[...], h3, w3_, acc,
-    )
+    acc = _conv3x3_from(c1s[1:-1, 1:-1, :], w3c1[...], h3, w3_, acc)
+    acc = _conv3x3_from(c2s[...], w3c2[...], h3, w3_, acc)
     c3 = _leaky(acc).reshape(h3, w3_, growth)
     c3 = c3 * _inside_image_mask(ti, tj, tile_h, tile_w, 2, h3, w3_, h, w)
     c3s[...] = c3.astype(xs.dtype)
@@ -125,26 +131,19 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c, w3x, w3c, w4x, w4c, w5x, w5c,
     # conv4: [x, c1, c2, c3](halo2) -> c4(halo1)
     h4, w4_ = tile_h + 2, tile_w + 2
     acc = _conv3x3_from(xb[3:-3, 3:-3, :], w4x[...], h4, w4_)
-    acc = _conv3x3_from(
-        jnp.concatenate(
-            [c1s[2:-2, 2:-2, :], c2s[1:-1, 1:-1, :], c3s[...]], axis=-1
-        ),
-        w4c[...], h4, w4_, acc,
-    )
+    acc = _conv3x3_from(c1s[2:-2, 2:-2, :], w4c1[...], h4, w4_, acc)
+    acc = _conv3x3_from(c2s[1:-1, 1:-1, :], w4c2[...], h4, w4_, acc)
+    acc = _conv3x3_from(c3s[...], w4c3[...], h4, w4_, acc)
     c4 = _leaky(acc).reshape(h4, w4_, growth)
     c4 = c4 * _inside_image_mask(ti, tj, tile_h, tile_w, 1, h4, w4_, h, w)
     c4s[...] = c4.astype(xs.dtype)
 
     # conv5: [x, c1..c4](halo1) -> c5(tile); out = x + 0.2*c5
     acc = _conv3x3_from(xb[4:-4, 4:-4, :], w5x[...], tile_h, tile_w)
-    acc = _conv3x3_from(
-        jnp.concatenate(
-            [c1s[3:-3, 3:-3, :], c2s[2:-2, 2:-2, :], c3s[1:-1, 1:-1, :],
-             c4s[...]],
-            axis=-1,
-        ),
-        w5c[...], tile_h, tile_w, acc,
-    )
+    acc = _conv3x3_from(c1s[3:-3, 3:-3, :], w5c1[...], tile_h, tile_w, acc)
+    acc = _conv3x3_from(c2s[2:-2, 2:-2, :], w5c2[...], tile_h, tile_w, acc)
+    acc = _conv3x3_from(c3s[1:-1, 1:-1, :], w5c3[...], tile_h, tile_w, acc)
+    acc = _conv3x3_from(c4s[...], w5c4[...], tile_h, tile_w, acc)
     center = xb[HALO : HALO + tile_h, HALO : HALO + tile_w, :].astype(f32)
     out = center + residual_scale * acc.reshape(tile_h, tile_w, channels)
     out_ref[...] = out[None].astype(out_ref.dtype)
@@ -173,21 +172,30 @@ def fused_rdb(
     n_tw = -(-w // tile_w)
     pad_h = n_th * tile_h - h
     pad_w = n_tw * tile_w - w
-    # pad: HALO zeros on all sides (reproduces the convs' zero padding at
-    # image borders) + tile-alignment padding on the bottom/right.
+    # pad: PAD zeros on all sides (zero halo reproduces the convs' border
+    # padding; 8 instead of 5 for DMA alignment) + tile-alignment padding.
     x_in = jnp.pad(
-        x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO + pad_w), (0, 0))
+        x, ((0, 0), (PAD, PAD + pad_h), (PAD, PAD + pad_w), (0, 0))
     )
     hp, wp = h + pad_h, w + pad_w
 
     dtype = x.dtype
-    # split each dense conv's kernel into (x-part, prior-features-part):
-    # cat(x, c1..ci) @ W == x @ W[:c] + cat(c1..ci) @ W[c:]
+    # split each dense conv's kernel per input: cat(x, c1..ci) @ W ==
+    # x @ W[:c] + Σ_k c_k @ W[c+(k-1)g : c+kg]
+    def seg(wt, k):
+        return wt[:, :, c + (k - 1) * g : c + k * g].astype(dtype)
+
     w1 = weights[0].astype(dtype)
-    w2x, w2c = weights[1][:, :, :c].astype(dtype), weights[1][:, :, c:].astype(dtype)
-    w3x, w3c = weights[2][:, :, :c].astype(dtype), weights[2][:, :, c:].astype(dtype)
-    w4x, w4c = weights[3][:, :, :c].astype(dtype), weights[3][:, :, c:].astype(dtype)
-    w5x, w5c = weights[4][:, :, :c].astype(dtype), weights[4][:, :, c:].astype(dtype)
+    w2x, w2c1 = weights[1][:, :, :c].astype(dtype), seg(weights[1], 1)
+    w3x, w3c1, w3c2 = weights[2][:, :, :c].astype(dtype), seg(weights[2], 1), seg(weights[2], 2)
+    w4x, w4c1, w4c2, w4c3 = (
+        weights[3][:, :, :c].astype(dtype), seg(weights[3], 1),
+        seg(weights[3], 2), seg(weights[3], 3),
+    )
+    w5x, w5c1, w5c2, w5c3, w5c4 = (
+        weights[4][:, :, :c].astype(dtype), seg(weights[4], 1),
+        seg(weights[4], 2), seg(weights[4], 3), seg(weights[4], 4),
+    )
 
     kernel = functools.partial(
         _rdb_kernel, tile_h=tile_h, tile_w=tile_w, channels=c, growth=g,
@@ -200,7 +208,7 @@ def fused_rdb(
         grid=(b, n_th, n_tw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd manually
-            *[pl.BlockSpec(memory_space=vmem) for _ in range(9)],
+            *[pl.BlockSpec(memory_space=vmem) for _ in range(15)],
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, tile_w, c), lambda bi, i, j: (bi, i, j, 0),
@@ -208,7 +216,7 @@ def fused_rdb(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), dtype),
         scratch_shapes=[
-            vmem((tile_h + 2 * HALO, tile_w + 2 * HALO, c), dtype),
+            vmem((tile_h + 2 * PAD, tile_w + 2 * PAD, c), dtype),
             vmem((tile_h + 8, tile_w + 8, g), dtype),
             vmem((tile_h + 6, tile_w + 6, g), dtype),
             vmem((tile_h + 4, tile_w + 4, g), dtype),
@@ -216,7 +224,8 @@ def fused_rdb(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_in, w1, w2x, w2c, w3x, w3c, w4x, w4c, w5x, w5c)
+    )(x_in, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
+      w5x, w5c1, w5c2, w5c3, w5c4)
 
     if pad_h or pad_w:
         out = out[:, :h, :w]
