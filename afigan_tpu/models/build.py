@@ -230,6 +230,10 @@ def build_model(cfg, train: bool = False, axis_name=None,
         from .fcos import build_fcos
 
         return build_fcos(cfg, train=train, axis_name=axis_name)
+    if arch == "CenterMask":
+        from .centermask import build_centermask
+
+        return build_centermask(cfg, train=train, axis_name=axis_name)
     raise KeyError(f"Unknown META_ARCHITECTURE: {arch}")
 
 

@@ -1,0 +1,65 @@
+"""CenterMask forward tests (train losses + inference masks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from afigan_tpu.config import get_cfg
+from afigan_tpu.models import build_model
+from afigan_tpu.models.roi_heads import GroundTruth
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/repo/configs/inference/AFI-GAN_fcos_R_50_FPN.yaml")
+    cfg.MODEL.META_ARCHITECTURE = "CenterMask"
+    cfg.MODEL.MASK_ON = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.AFI.IN_CHANNELS = 32
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    cfg.MODEL.FCOS.NUM_CONVS = 1
+    cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.FCOS.POST_NMS_TOPK_TEST = 8
+    cfg.TPU.MAX_GT_BOXES = 4
+    return cfg
+
+
+def test_centermask_train_and_inference():
+    cfg = _cfg()
+    model = build_model(cfg, train=True)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32) * 255
+    )
+    sizes = jnp.asarray([[64, 64]], jnp.int32)
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[8.0, 8.0, 48.0, 40.0], [0, 0, 0, 0],
+                            [0, 0, 0, 0], [0, 0, 0, 0]]]),
+        classes=jnp.asarray([[1, 0, 0, 0]], jnp.int32),
+        valid=jnp.asarray([[True, False, False, False]]),
+        masks=jnp.asarray(
+            np.random.RandomState(1).rand(1, 4, 32, 32).astype(np.float32)
+        ),
+    )
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes, gt)
+    )()
+    losses = jax.jit(lambda v: model.apply(v, images, sizes, gt))(variables)
+    assert set(losses) == {
+        "loss_fcos_cls", "loss_fcos_loc", "loss_fcos_ctr", "loss_mask"
+    }
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # SAG attention + mask head params exist
+    assert "mask_head" in variables["params"]
+    assert "sam" in variables["params"]["mask_head"]
+
+    model_e = build_model(cfg, train=False)
+    var_e = jax.jit(
+        lambda: model_e.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    dets, masks = jax.jit(lambda v: model_e.apply(v, images, sizes))(var_e)
+    assert dets.boxes.shape == (1, 8, 4)
+    assert masks.shape == (1, 8, 28, 28)
+    assert float(masks.min()) >= 0 and float(masks.max()) <= 1
