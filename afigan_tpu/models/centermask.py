@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align_fast
 from .box_head import Detections
 from .fcos import FCOS, build_fcos
 from .layers import Conv, ConvTranspose, c2_msra_fill
@@ -92,10 +92,9 @@ class CenterMask(nn.Module):
 
     def _pool(self, features, boxes):
         feats = [features[f] for f in self.mask_in_features]
-        return jax.vmap(lambda *a: multilevel_roi_align(
-            list(a[:-1]), a[-1], list(self.mask_strides),
+        return jax.vmap(lambda *a: multilevel_roi_align_fast(
+            tuple(a[:-1]), a[-1], tuple(self.mask_strides),
             self.mask_pooler_resolution, 2, True,
-            canonical_size=224.0, canonical_level=4,
         ))(*feats, boxes)
 
     @nn.compact

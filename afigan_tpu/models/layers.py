@@ -154,10 +154,16 @@ class Conv(nn.Module):
 class ConvTranspose(nn.Module):
     """torch-compatible ConvTranspose2d(k, s, p): out = in * s (for k=2p+s).
 
-    Implemented as lhs-dilated conv with spatially-flipped kernel:
-    conv_general_dilated(x, flip(W), lhs_dilation=s, padding=k-1-p)
-    (exactly torch's transposed-conv as gradient-of-conv definition;
-    used by the AFI generator upsampler, ref generator_rdb.py:101-105).
+    Semantics: torch's transposed conv == conv_general_dilated(x, flip(W),
+    lhs_dilation=s, padding=k-1-p) (the gradient-of-conv definition; used
+    by the AFI generator upsampler, ref generator_rdb.py:101-105).
+
+    TPU lowering: for stride 2 (the only stride used) the lhs-dilated conv
+    is decomposed into 4 **subpixel phase convolutions** — even/odd output
+    rows and columns each come from a dense (k/2 x k/2)-tap conv over the
+    undilated input, interleaved at the end. Identical numerics, but every
+    matmul is dense on the MXU instead of XLA convolving a half-zeros
+    dilated tensor.
     """
 
     features: int
@@ -172,25 +178,67 @@ class ConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        # Stored in torch layout semantics but HWIO for XLA:
-        # (k, k, in, out) — converter maps torch's (in, out, k, k).
+        # Stored HWIO (k, k, in, out) — converter maps torch's (in, out, k, k).
         kernel = self.param(
             "kernel", self.kernel_init,
             (self.kernel_size, self.kernel_size, in_ch, self.features),
         )
-        p = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            jnp.flip(kernel, (0, 1)).astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[(p, p), (p, p)],
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        k, s, p = self.kernel_size, self.stride, self.padding
+        pp = k - 1 - p
+
+        if s == 2 and k % 2 == 0:
+            y = self._phase_decomposed(x, kernel, k, pp)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                jnp.flip(kernel, (0, 1)).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(pp, pp), (pp, pp)],
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(self.dtype)
         return y
+
+    def _phase_decomposed(self, x, kernel, k, pp):
+        """out[2i+d] = Σ_m Wf[m]·x[(2i+d-pp+m)/2] over m with matching
+        parity — a (k/2)-tap dense conv per output parity, per axis."""
+        wf = jnp.flip(kernel, (0, 1)).astype(self.dtype)
+        xt = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        half = k // 2
+
+        def phase_taps(d):
+            # m parity for output index 2i+d: (2i+d-pp+m) even ⇔ m ≡ pp-d (2)
+            ms = [m for m in range(k) if (m - (pp - d)) % 2 == 0]
+            # tap offsets in x: t = (d - pp + m) // 2  (relative to i)
+            ts = [(d - pp + m) // 2 for m in ms]
+            return ms, ts
+
+        phases = {}
+        for dy in (0, 1):
+            msy, tsy = phase_taps(dy)
+            for dx in (0, 1):
+                msx, tsx = phase_taps(dx)
+                # dense (half x half) kernel for this phase; taps span
+                # x[i + min(ts) .. i + max(ts)] → symmetric padding
+                wp = wf[jnp.asarray(msy)][:, jnp.asarray(msx)]
+                # taps are consecutive (step 1): pad = (-min, max)
+                pad_y = (-min(tsy), max(tsy))
+                pad_x = (-min(tsx), max(tsx))
+                phases[(dy, dx)] = jax.lax.conv_general_dilated(
+                    xt, wp, (1, 1),
+                    padding=[(pad_y[0], pad_y[1]), (pad_x[0], pad_x[1])],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+        # interleave: out[2i+dy, 2j+dx] = phases[(dy, dx)][i, j]
+        row0 = jnp.stack([phases[(0, 0)], phases[(0, 1)]], axis=3)  # (B,H,W,2,C)
+        row1 = jnp.stack([phases[(1, 0)], phases[(1, 1)]], axis=3)
+        both = jnp.stack([row0, row1], axis=2)  # (B,H,2,W,2,C)
+        return both.reshape(b, 2 * h, 2 * w, self.features)
 
 
 class SeparableConv(nn.Module):

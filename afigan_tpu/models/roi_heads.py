@@ -28,6 +28,10 @@ from ..ops import (
     pairwise_iou,
     subsample_labels,
 )
+from ..ops.roi_align import (
+    multilevel_roi_align_fast,
+    multilevel_roi_align_windowed,
+)
 from .box_head import (
     Detections,
     FastRCNNConvFCHead,
@@ -125,6 +129,10 @@ class StandardROIHeads(nn.Module):
     # pooling
     sampling_ratio: int = 2
     aligned: bool = True  # POOLER_TYPE ROIAlignV2
+    # "fast": windowed-matmul forward + point-scatter custom-VJP backward
+    # (fastest measured on TPU both ways); "windowed": autodiff through the
+    # windowed form; "gather": per-sample-point gather (reference form)
+    pooler_impl: str = "fast"
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -132,7 +140,17 @@ class StandardROIHeads(nn.Module):
     def _pool(self, features, boxes, resolution):
         """features: dict of (B,H,W,C); boxes (B,R,4) -> (B,R,P,P,C)."""
         feats = [features[f] for f in self.in_features]
-        return jax.vmap(lambda *a: multilevel_roi_align(
+        if self.pooler_impl == "fast":
+            return jax.vmap(lambda *a: multilevel_roi_align_fast(
+                tuple(a[:-1]), a[-1], tuple(self.strides), resolution,
+                self.sampling_ratio, self.aligned,
+            ))(*feats, boxes)
+        impl = (
+            multilevel_roi_align_windowed
+            if self.pooler_impl == "windowed"
+            else multilevel_roi_align
+        )
+        return jax.vmap(lambda *a: impl(
             list(a[:-1]), a[-1], list(self.strides), resolution,
             self.sampling_ratio, self.aligned,
         ))(*feats, boxes)

@@ -111,5 +111,60 @@ def main():
     print(f"multilevel ROIAlign chained ({b}x512 rois): {t*1e3:.1f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("POOL_AB"):
     main()
+
+
+def pooling_ab():
+    """A/B the two pooler implementations on TPU."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.ops import multilevel_roi_align
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_windowed
+
+    b = int(os.environ.get("BENCH_BATCH", "4"))
+    h, w = 800, 1344
+    rng = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rng.rand(b, h // s, w // s, 256).astype(np.float32)).astype(jnp.bfloat16)
+        for s in (4, 8, 16, 32)
+    ]
+    rois_np = np.concatenate(
+        [rng.rand(512, 2) * 1000, rng.rand(512, 2) * 300], 1
+    ).astype(np.float32)
+    rois_np[:, 2:] += rois_np[:, :2] + 8  # x2 = x1 + w
+    rois = jnp.asarray(np.tile(rois_np[None], (b, 1, 1)))
+
+    for name, impl in [("gather", multilevel_roi_align),
+                       ("windowed", multilevel_roi_align_windowed)]:
+        def pool_step(r, impl=impl):
+            out = jax.vmap(
+                lambda f0, f1, f2, f3, rr: impl(
+                    [f0, f1, f2, f3], rr, [4, 8, 16, 32], 7, 2
+                )
+            )(*feats, r)
+            return r + jnp.max(out).astype(r.dtype) * 1e-9
+
+        t = chained(jax.jit(pool_step), rois)
+        print(f"pool[{name}] fwd chained: {t*1e3:.1f} ms", flush=True)
+
+        def pool_grad(r, impl=impl):
+            def loss(f0):
+                out = jax.vmap(
+                    lambda f0_, f1, f2, f3, rr: impl(
+                        [f0_, f1, f2, f3], rr, [4, 8, 16, 32], 7, 2
+                    )
+                )(f0, *feats[1:], r)
+                return jnp.sum(out.astype(jnp.float32))
+
+            g = jax.grad(loss)(feats[0])
+            return r + jnp.max(g).astype(r.dtype) * 1e-9
+
+        t = chained(jax.jit(pool_grad), rois, iters=5)
+        print(f"pool[{name}] fwd+bwd chained: {t*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("POOL_AB"):
+    pooling_ab()

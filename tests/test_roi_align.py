@@ -107,3 +107,64 @@ def test_multilevel_matches_single_level_routing():
     )
     np.testing.assert_allclose(got[0], want_small[0], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got[1], want_big[0], rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_matches_gather_pooler():
+    """The matmul-windowed pooler must match the per-point gather pooler."""
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_windowed
+
+    rng = np.random.RandomState(5)
+    feats = [
+        rng.randn(64, 96, 8).astype(np.float32),
+        rng.randn(32, 48, 8).astype(np.float32),
+        rng.randn(16, 24, 8).astype(np.float32),
+        rng.randn(8, 12, 8).astype(np.float32),
+    ]
+    strides = [4, 8, 16, 32]
+    boxes = np.array(
+        [
+            [8, 8, 60, 50],        # small → p2
+            [0, 0, 250, 180],      # medium
+            [-10, -10, 40, 40],    # crosses the border
+            [0, 0, 383, 255],      # full image → top level
+            [100, 90, 101, 91],    # tiny 1px box
+        ],
+        dtype=np.float32,
+    )
+    jf = [jnp.asarray(f) for f in feats]
+    want = np.asarray(multilevel_roi_align(jf, jnp.asarray(boxes), strides, 7, 2))
+    got = np.asarray(
+        multilevel_roi_align_windowed(jf, jnp.asarray(boxes), strides, 7, 2)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fast_pooler_forward_and_grad_match_gather():
+    """custom-VJP pooler: forward == gather pooler; grads == autodiff grads."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rng = np.random.RandomState(7)
+    feats = tuple(
+        jnp.asarray(rng.randn(h, w, 4).astype(np.float32))
+        for h, w in [(32, 48), (16, 24), (8, 12), (4, 6)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = jnp.asarray(
+        np.array([[4, 4, 60, 44], [0, 0, 190, 120], [-5, -5, 20, 20]], np.float32)
+    )
+    got = np.asarray(multilevel_roi_align_fast(feats, boxes, strides, 7, 2))
+    want = np.asarray(multilevel_roi_align(list(feats), boxes, list(strides), 7, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # gradient parity vs autodiff through the gather implementation
+    def loss_fast(fs):
+        return jnp.sum(multilevel_roi_align_fast(fs, boxes, strides, 7, 2) ** 2)
+
+    def loss_ref(fs):
+        return jnp.sum(multilevel_roi_align(list(fs), boxes, list(strides), 7, 2) ** 2)
+
+    g_fast = jax.grad(loss_fast)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
