@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import AFIGenerator, PatchDiscriminator, build_guide_model
 from .solver import build_optimizer
