@@ -192,6 +192,6 @@ def make_stage1_train_step(cfg, mesh: Optional[Mesh] = None):
         mesh=mesh,
         in_specs=(rep, rep, dat),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -222,6 +222,6 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
         step_fn, mesh=mesh,
         in_specs=(rep, rep, dat, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

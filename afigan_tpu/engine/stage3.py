@@ -114,6 +114,6 @@ def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
         step_fn, mesh=mesh,
         in_specs=(rep, dat, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
