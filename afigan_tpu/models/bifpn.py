@@ -83,7 +83,7 @@ class BiFPN(nn.Module):
         def bn(name):
             return get_norm("BN" if self.norm in ("BN", "SyncBN") else self.norm,
                             self.out_channels, dtype=self.dtype, train=self.train,
-                            axis_name=self.axis_name)
+                            axis_name=self.axis_name, name=f"{name}_bn")
 
         c3, c4, c5 = (bottom_up_features[f] for f in self.in_features)
 

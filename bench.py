@@ -67,9 +67,12 @@ def main():
     step = make_stage3_train_step(cfg)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon backend block_until_ready does
+    # not actually wait — device_get is the only true sync, and skipping
+    # it yields impossibly fast timings.
     state, metrics = step(state, data, key)
-    jax.block_until_ready(metrics)
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
     if os.environ.get("BENCH_DEBUG"):
         m = jax.device_get(metrics)
         print("warmup metrics:", {k: float(v) for k, v in m.items()},
@@ -88,7 +91,7 @@ def main():
     for i in range(iters):
         key, sub = jax.random.split(key)
         state, metrics = step(state, data, sub)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics["total_loss"])  # true sync (see note above)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
