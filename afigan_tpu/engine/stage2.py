@@ -105,13 +105,7 @@ def init_stage2_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Tuple[Stage2S
 def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
     axis = "data" if mesh is not None else None
     det, disc, guide = make_stage2_models(cfg, axis_name=axis)
-    det_tx, _ = build_optimizer(cfg, None)  # masks applied at init time
-    d_tx, _ = build_optimizer(cfg, None)
     adv_w = cfg.MODEL.AFI.ADV_LOSS_WEIGHT
-
-    # NOTE: frozen-param masking happens through the optimizer state created
-    # in init_stage2_state; here we rebuild the same tx chain shape.
-    det_tx = None  # replaced below
 
     def build_txs(det_params, d_params):
         dtx, _ = build_optimizer(cfg, det_params, _det_frozen_predicates(cfg))
