@@ -89,6 +89,57 @@ class SplAtConv2d(nn.Module):
         return out
 
 
+class DeformConvLayer(nn.Module):
+    """(Modulated) deformable 3x3 conv layer — zero-init offset predictor
+    (so it starts as a plain conv) + ops/deform_conv.py sampling + norm.
+
+    The TPU-native stand-in for d2's DeformConv/ModulatedDeformConv blocks
+    (ref resnest.py:246-413, splat.py:104-183; SURVEY §2.3)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    modulated: bool = True
+    norm: str = "FrozenBN"
+    train: bool = False
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import deform_conv2d
+        from .layers import get_norm
+
+        in_ch = x.shape[-1]
+        k2 = 9
+        off_ch = 3 * k2 if self.modulated else 2 * k2
+        pred = nn.Conv(
+            off_ch, (3, 3), strides=(self.stride, self.stride),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="offset_conv",
+        )(x)
+        if self.modulated:
+            offsets = pred[..., : 2 * k2]
+            mask = jax.nn.sigmoid(pred[..., 2 * k2 :].astype(jnp.float32))
+        else:
+            offsets = pred
+            mask = None
+        weight = self.param(
+            "kernel", c2_msra_fill(), (3, 3, in_ch, self.features)
+        )
+        y = deform_conv2d(
+            x.astype(jnp.float32), offsets.astype(jnp.float32),
+            weight.astype(jnp.float32),
+            mask=mask, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation,
+        ).astype(self.dtype)
+        n = get_norm(self.norm, self.features, dtype=self.dtype,
+                     train=self.train, axis_name=self.axis_name)
+        return n(y) if n is not None else y
+
+
 class ResNeStBottleneck(nn.Module):
     out_channels: int
     bottleneck_channels: int
@@ -101,6 +152,8 @@ class ResNeStBottleneck(nn.Module):
     bottleneck_width: int = 64
     avd: bool = True
     avg_down: bool = True
+    deform: bool = False
+    deform_modulated: bool = True
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -120,7 +173,18 @@ class ResNeStBottleneck(nn.Module):
         out = jax.nn.relu(
             Conv(group_width, 1, stride=stride_1x1, padding=0, name="conv1", **common)(x)
         )
-        if self.radix > 1:
+        if self.deform:
+            # DCN variant (ref DeformBottleneckBlock); applies the deformable
+            # conv in place of conv2 (SplAt's DCN fuses similarly)
+            out = jax.nn.relu(
+                DeformConvLayer(
+                    group_width, stride=1 if avd else stride_3x3,
+                    dilation=self.dilation, modulated=self.deform_modulated,
+                    norm=self.norm, train=self.train, axis_name=self.axis_name,
+                    dtype=self.dtype, name="conv2",
+                )(out)
+            )
+        elif self.radix > 1:
             out = SplAtConv2d(
                 group_width, 3, stride=1 if avd else stride_3x3,
                 dilation=self.dilation, groups=card, radix=self.radix,
@@ -187,6 +251,8 @@ class ResNeSt(nn.Module):
     res5_dilation: int = 1
     res2_out_channels: int = 256
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = True
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -224,6 +290,8 @@ class ResNeSt(nn.Module):
                     bottleneck_width=self.bottleneck_width,
                     avd=self.avd,
                     avg_down=self.avg_down,
+                    deform=self.deform_on_per_stage[idx],
+                    deform_modulated=self.deform_modulated,
                     train=self.train,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
@@ -253,6 +321,8 @@ def build_resnest(cfg, train: bool = False, axis_name=None, dtype=jnp.float32) -
         res5_dilation=r.RES5_DILATION,
         res2_out_channels=r.RES2_OUT_CHANNELS,
         out_features=tuple(r.OUT_FEATURES),
+        deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
+        deform_modulated=r.DEFORM_MODULATED,
         train=train,
         axis_name=axis_name,
         dtype=dtype,

@@ -50,3 +50,24 @@ def test_modulation_mask_scales_contribution():
     full = deform_conv2d(x, offsets, w, mask=jnp.ones((1, 6, 6, 9)), padding=1)
     half = deform_conv2d(x, offsets, w, mask=jnp.full((1, 6, 6, 9), 0.5), padding=1)
     np.testing.assert_allclose(np.asarray(half), np.asarray(full) * 0.5, rtol=1e-4)
+
+
+def test_resnest_dcn_stage_builds_and_runs():
+    """DEFORM_ON_PER_STAGE wires DeformConvLayer into the bottleneck; with
+    zero-init offsets the block must behave like a plain conv block."""
+    import jax
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.models import build_resnest
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.RADIX = 2
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2"]
+    cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE = [True, False, False, False]
+    model = build_resnest(cfg, train=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "offset_conv" in variables["params"]["res2/block0"]["conv2"]
+    out = model.apply(variables, x)
+    assert out["res2"].shape == (1, 8, 8, 256)
