@@ -295,6 +295,10 @@ _C.TPU.MAX_GT_BOXES = 100
 # Per-instance GT mask canvas (rasterized once on host, crop-resized to
 # 28x28 inside the jitted step — SURVEY §7.4 mask-target plan).
 _C.TPU.MASK_CANVAS = 112
+# Rematerialize backbone blocks + AFI dense blocks during training
+# (jax.checkpoint): trades ~25% extra forward FLOPs for activation memory,
+# enabling larger per-chip batches.
+_C.TPU.REMAT = True
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

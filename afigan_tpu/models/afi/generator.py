@@ -96,12 +96,14 @@ class ResidualInResidual(nn.Module):
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
     fused: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        block_cls = nn.remat(ResidualDenseBlock) if self.remat else ResidualDenseBlock
         y = x
         for i in range(self.n_rdb):
-            y = ResidualDenseBlock(
+            y = block_cls(
                 self.growth_rate, self.residual_scale, self.dtype,
                 fused=self.fused, name=f"rdb{i}",
             )(y)
@@ -117,6 +119,7 @@ class AFIGenerator(nn.Module):
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
     fused: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -132,7 +135,7 @@ class AFIGenerator(nn.Module):
         )
         y = ResidualInResidual(
             self.n_rdb, self.growth_rate, self.residual_scale, self.dtype,
-            fused=self.fused, name="generators_0/rir",
+            fused=self.fused, remat=self.remat, name="generators_0/rir",
         )(y)
         y = leaky_relu02(
             Conv(self.in_channels, 3, padding=1, kernel_init=init,

@@ -48,6 +48,7 @@ class BiFPN(nn.Module):
     afi_growth_rate: int = 32
     afi_residual_scale: float = 0.2
     afi_fused: bool = False
+    afi_remat: bool = False
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -68,7 +69,8 @@ class BiFPN(nn.Module):
                 in_channels=self.out_channels, n_rdb=self.afi_n_rdb,
                 growth_rate=self.afi_growth_rate,
                 residual_scale=self.afi_residual_scale,
-                dtype=self.dtype, fused=self.afi_fused, name="srf_module",
+                dtype=self.dtype, fused=self.afi_fused,
+                remat=self.afi_remat, name="srf_module",
             )
 
             def up(x, target_hw):

@@ -59,6 +59,7 @@ def _fpn_kwargs(cfg, interp, train, axis_name, dtype):
         afi_growth_rate=cfg.MODEL.AFI.GROWTH_RATE,
         afi_residual_scale=cfg.MODEL.AFI.RESIDUAL_SCALE,
         afi_fused=_use_fused_afi(cfg, train),
+        afi_remat=bool(train and cfg.TPU.REMAT),
         train=train,
         axis_name=axis_name,
         dtype=dtype,
@@ -99,6 +100,7 @@ def _make_backbone_builder(bottom_up_fn, pyramid: str, interp: str):
                 afi_growth_rate=cfg.MODEL.AFI.GROWTH_RATE,
                 afi_residual_scale=cfg.MODEL.AFI.RESIDUAL_SCALE,
                 afi_fused=_use_fused_afi(cfg, train),
+                afi_remat=bool(train and cfg.TPU.REMAT),
                 train=train,
                 axis_name=axis_name,
                 dtype=dtype,

@@ -55,6 +55,7 @@ class FPN(nn.Module):
     afi_growth_rate: int = 32
     afi_residual_scale: float = 0.2
     afi_fused: bool = False
+    afi_remat: bool = False
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -68,6 +69,7 @@ class FPN(nn.Module):
                 residual_scale=self.afi_residual_scale,
                 dtype=self.dtype,
                 fused=self.afi_fused,
+                remat=self.afi_remat,
                 name="srf_module",
             )
             return srf

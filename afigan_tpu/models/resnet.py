@@ -108,6 +108,7 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    remat: bool = False
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -115,6 +116,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         stage_blocks = RESNET_STAGES[self.depth]
+        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         y = BasicStem(self.stem_out_channels, self.norm, self.train,
                       self.axis_name, self.dtype, name="stem")(x.astype(self.dtype))
 
@@ -133,7 +135,7 @@ class ResNet(nn.Module):
             if stage == 5 and self.res5_dilation == 2:
                 first_stride = 1
             for b in range(stage_blocks[idx]):
-                y = BottleneckBlock(
+                y = block_cls(
                     out_channels=out_channels,
                     bottleneck_channels=bottleneck_channels,
                     stride=first_stride if b == 0 else 1,
@@ -165,6 +167,7 @@ def build_resnet(cfg, train: bool = False, axis_name: Optional[str] = None,
                  dtype=jnp.float32) -> ResNet:
     r = cfg.MODEL.RESNETS
     return ResNet(
+        remat=bool(train and cfg.TPU.REMAT),
         depth=r.DEPTH,
         norm=r.NORM,
         stem_out_channels=r.STEM_OUT_CHANNELS,
