@@ -174,6 +174,28 @@ def build_roi_heads(cfg, train=False, axis_name=None, dtype=None):
         dtype=dtype,
         name="roi_heads",
     )
+    if rh.NAME == "Res5ROIHeads":
+        from .res5_roi_heads import Res5ROIHeads
+
+        r = cfg.MODEL.RESNETS
+        return Res5ROIHeads(
+            num_classes=rh.NUM_CLASSES,
+            in_feature=rh.IN_FEATURES[0],
+            pooler_resolution=bh.POOLER_RESOLUTION,
+            norm=r.NORM,
+            stride_in_1x1=r.STRIDE_IN_1X1,
+            mask_on=cfg.MODEL.MASK_ON,
+            batch_size_per_image=rh.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=rh.POSITIVE_FRACTION,
+            iou_threshold=rh.IOU_THRESHOLDS[0],
+            append_gt=rh.PROPOSAL_APPEND_GT,
+            bbox_reg_weights=tuple(bh.BBOX_REG_WEIGHTS),
+            smooth_l1_beta=bh.SMOOTH_L1_BETA,
+            score_thresh=rh.SCORE_THRESH_TEST,
+            nms_thresh=rh.NMS_THRESH_TEST,
+            detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            train=train, axis_name=axis_name, dtype=dtype, name="roi_heads",
+        )
     if rh.NAME == "StandardROIHeads":
         return StandardROIHeads(**common)
     if rh.NAME == "CascadeROIHeads":

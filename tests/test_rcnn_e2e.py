@@ -116,3 +116,50 @@ def test_cascade_heads_build_and_run():
     )()
     dets, masks = jax.jit(lambda v: model_e.apply(v, images, sizes))(var_e)
     assert dets.boxes.shape[1] == cfg.TEST.DETECTIONS_PER_IMAGE
+
+
+def test_res5_c4_heads_build_and_run():
+    """d2 default C4 config shape: RPN on res4 + Res5ROIHeads."""
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"  # bottom_up only used
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.AFI.IN_CHANNELS = 32
+    cfg.MODEL.RPN.IN_FEATURES = ["p4"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[64, 128]]
+    cfg.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p4"]
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.TEST.DETECTIONS_PER_IMAGE = 4
+    cfg.MODEL.MASK_ON = True
+    model = build_model(cfg, train=True)
+    images, sizes, gt = _fake_batch()
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            images, sizes, gt,
+        )
+    )()
+    assert "res5/block0" in variables["params"]["roi_heads"]
+    losses = jax.jit(
+        lambda v, r: model.apply(v, images, sizes, gt, rngs={"sampling": r})
+    )(variables, jax.random.PRNGKey(2))
+    assert {"loss_cls", "loss_box_reg", "loss_mask"} <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    model_e = build_model(cfg, train=False)
+    var_e = jax.jit(
+        lambda: model_e.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    dets, masks = jax.jit(lambda v: model_e.apply(v, images, sizes))(var_e)
+    assert dets.boxes.shape == (1, 4, 4)
+    assert masks.shape[2] == masks.shape[3]
