@@ -296,9 +296,11 @@ _C.TPU.MAX_GT_BOXES = 100
 # 28x28 inside the jitted step — SURVEY §7.4 mask-target plan).
 _C.TPU.MASK_CANVAS = 112
 # Rematerialize backbone blocks + AFI dense blocks during training
-# (jax.checkpoint): trades ~25% extra forward FLOPs for activation memory,
-# enabling larger per-chip batches.
-_C.TPU.REMAT = True
+# (jax.checkpoint): trades ~25% extra forward FLOPs for activation memory.
+# Measured on v5e: batch 8 fits WITHOUT remat (16.4 img/s) and remat only
+# slows it (15.7); batch 16 OOMs either way (pooler stacking dominates) —
+# so default off; flip on for memory-constrained configs.
+_C.TPU.REMAT = False
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]
