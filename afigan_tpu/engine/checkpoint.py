@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 from flax import serialization
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 LAST_CHECKPOINT_FILE = "last_checkpoint"
 

@@ -30,9 +30,8 @@ import jax.numpy as jnp
 from ..data import build_train_loader, get_dataset, register_default_datasets
 from ..models import build_model
 from ..models.roi_heads import GroundTruth
-from ..parallel.mesh import mesh_from_cfg, process_is_main, replicate, shard_batch
+from ..parallel.mesh import process_is_main, replicate, shard_batch
 from .checkpoint import (
-    latest_checkpoint,
     resume_or_load,
     save_checkpoint,
     transplant_generator,

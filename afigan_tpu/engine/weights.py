@@ -8,7 +8,7 @@ stage1_trainer.py:62-74) redesigned as one entry point: paths ending in
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict
 
 from flax import serialization
 

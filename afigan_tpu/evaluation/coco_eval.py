@@ -17,11 +17,11 @@ ref :117-144), ``evaluate()`` returning {"bbox": {...}, "segm": {...}}.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .rle import decode_rle, encode_mask, rle_iou
+from .rle import encode_mask
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import Box2BoxTransform, batched_nms_padded, clip_boxes, nonempty_mask
+from ..ops import batched_nms_padded, clip_boxes, nonempty_mask
 from .layers import Conv, c2_msra_fill, c2_xavier_fill
 
 Dtype = Any

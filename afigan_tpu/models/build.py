@@ -12,7 +12,7 @@ dict so reference YAML names resolve 1:1.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

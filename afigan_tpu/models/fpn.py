@@ -18,7 +18,7 @@ reference's one srf_module called 3x per forward (SURVEY §3.5).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

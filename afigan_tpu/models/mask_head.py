@@ -14,7 +14,7 @@ crop-resize of that canvas under the proposal→gtbox relative transform
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ import flax.linen as nn
 
 from ..ops import Box2BoxTransform, Matcher
 from ..ops.anchors import AnchorGenerator
-from .rpn import RPNHead, RPNOutput, generate_proposals, label_anchors, rpn_losses
+from .rpn import RPNHead, generate_proposals, label_anchors, rpn_losses
 from .roi_heads import GroundTruth, StandardROIHeads
 from .cascade_roi_heads import CascadeROIHeads
 

@@ -10,7 +10,7 @@ to n2..n5; p6 via stride-2 subsample of p5 (LastLevelMaxPool).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

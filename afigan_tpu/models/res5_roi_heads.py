@@ -9,7 +9,7 @@ pool → linear cls/box predictors; the mask head shares the res5 output.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from .box_head import (
 from .mask_head import crop_and_resize_masks, mask_loss
 from .layers import Conv, ConvTranspose, c2_msra_fill
 from .resnet import BottleneckBlock
-from .roi_heads import GroundTruth, SampledProposals, sample_proposals_single
+from .roi_heads import GroundTruth, sample_proposals_single
 from .rpn import RPNOutput
 
 Dtype = Any

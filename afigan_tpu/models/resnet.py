@@ -18,7 +18,7 @@ equivalent of requires_grad=False).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

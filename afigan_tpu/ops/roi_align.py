@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

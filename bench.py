@@ -19,6 +19,54 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 BASELINE_IMGS_PER_SEC_PER_CHIP = 7.64
 
 
+def bench_stage1():
+    """Secondary mode (BENCH_STAGE=1): stage-1 AFI-GAN adversarial step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.engine.stage1 import init_stage1_state, make_stage1_train_step
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/step1_afigan_training/step1_afigan_mask_rcnn_R_50_FPN_1x.yaml"
+    )
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 800, 1344
+    rng = np.random.RandomState(0)
+    state, guide_vars = init_stage1_state(cfg, jax.random.PRNGKey(0))
+    step = make_stage1_train_step(cfg)
+    data = {
+        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255),
+        "image_x0.5": jnp.asarray(
+            rng.rand(batch, h // 2, w // 2, 3).astype(np.float32) * 255
+        ),
+    }
+    state, metrics = step(state, guide_vars, data)
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, guide_vars, data)
+    jax.device_get(metrics["g_loss"])
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_train_imgs_per_sec_per_chip_afigan_r50_fpn_800px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
 def main():
     import numpy as np
     import jax
@@ -29,6 +77,9 @@ def main():
     from afigan_tpu.config import get_cfg
     from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
     from afigan_tpu.models.roi_heads import GroundTruth
+
+    if os.environ.get("BENCH_STAGE") == "1":
+        return bench_stage1()
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
