@@ -67,6 +67,50 @@ def bench_stage1():
     )
 
 
+def bench_inference():
+    """Secondary mode (BENCH_STAGE=infer): Mask R-CNN R-50-FPN+AFI eval fwd."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/repo/configs/inference/AFI-GAN_maskrcnn_R_50_FPN.yaml")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 800, 1344
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[h, w]] * batch, jnp.int32)
+    model = build_model(cfg, train=False)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    fwd = jax.jit(lambda v, x: model.apply(v, x, sizes))
+    dets, masks = fwd(variables, images)
+    jax.device_get(dets.scores)
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    x = images
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets, masks = fwd(variables, x)
+        x = images + dets.scores[0, 0] * 0  # chain: defeat dispatch overlap
+    jax.device_get(dets.scores)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inference_imgs_per_sec_per_chip_maskrcnn_r50_fpn_afi_800px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 10.4, 3),  # d2 zoo 0.096 s/im V100
+            }
+        )
+    )
+
+
 def main():
     import numpy as np
     import jax
@@ -80,6 +124,8 @@ def main():
 
     if os.environ.get("BENCH_STAGE") == "1":
         return bench_stage1()
+    if os.environ.get("BENCH_STAGE") == "infer":
+        return bench_inference()
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
