@@ -122,7 +122,7 @@ def fast_rcnn_inference_single(
     score_thresh: float,
     nms_thresh: float,
     max_detections: int,
-    candidate_pool: int = 1024,
+    candidate_pool: int = 4096,
 ) -> Detections:
     """Fixed-shape d2 fast_rcnn_inference_single_image."""
     r, c = scores.shape[0], scores.shape[1] - 1

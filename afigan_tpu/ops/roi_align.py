@@ -246,7 +246,7 @@ def multilevel_roi_align_windowed(
     aligned: bool = True,
     canonical_size: float = 224.0,
     canonical_level: int = 4,
-    window: int = 48,
+    window: int = 0,
 ) -> jnp.ndarray:
     """ROIAlign as per-ROI window extraction + two interpolation matmuls.
 
@@ -265,8 +265,10 @@ def multilevel_roi_align_windowed(
 
     Constraint: ``window`` must cover the largest ROI extent at its
     assigned level. With d2's level router the extent is <= 30 px except
-    for clamp-to-top-level boxes, which are bounded by max(H, W)/stride
-    of the LAST level — 1344/32 = 42 < 48 for the standard buckets.
+    for clamp-to-top-level boxes, which are bounded by the LAST level's
+    own spatial size — so ``window=0`` (auto) picks
+    round8(max(48, top-level max dim + 2)) from the static feature shapes
+    (48 for the standard 800x1344 buckets; larger under e.g. TTA 4000px).
     """
     num_levels = len(features)
     c = features[0].shape[-1]
@@ -277,6 +279,9 @@ def multilevel_roi_align_windowed(
 
     heights = np.array([f.shape[0] for f in features], dtype=np.int32)
     widths = np.array([f.shape[1] for f in features], dtype=np.int32)
+    if window <= 0:
+        top_extent = max(int(heights[-1]), int(widths[-1])) + 2
+        window = int(np.ceil(max(48, top_extent) / 8) * 8)
     hmax = max(int(heights.max()), window)
     wmax = max(int(widths.max()), window)
     # stacked (L, Hmax, Wmax, C) tensor: one dynamic-slice source
