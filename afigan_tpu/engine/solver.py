@@ -153,6 +153,22 @@ def build_optimizer(
         )
         chain.append(optax.sgd(learning_rate=schedule, momentum=s.MOMENTUM))
 
+    # d2 per-group bias LR: bias params step with BASE_LR * BIAS_LR_FACTOR.
+    # Scaling the *updates* post-optimizer is exactly torch's per-group lr
+    # (momentum/Adam state accumulates unscaled grads, lr applies at the step).
+    if s.BIAS_LR_FACTOR != 1.0:
+        factor = float(s.BIAS_LR_FACTOR)
+
+        def scale_bias_updates(updates, state, params=None):
+            del state, params
+
+            def fn(path, u):
+                return u * factor if _path_str(path).endswith("/bias") else u
+
+            return jax.tree_util.tree_map_with_path(fn, updates), None
+
+        chain.append(optax.GradientTransformation(lambda p: None, scale_bias_updates))
+
     tx = optax.chain(*chain)
 
     if frozen_predicates:

@@ -131,17 +131,30 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
         gt = batch["gt"]
 
         # --- detector forward once, with vjp for later gradient pull ---
+        # BN/SyncBN detectors (e.g. Base-Cascade-SyncBN configs) need
+        # mutable batch_stats (mirrors stage3's pattern); the mutated stats
+        # ride along as vjp aux so the single-forward design is kept.
         def det_forward(params):
-            variables = {"params": params}
             if state.det_stats:
-                variables["batch_stats"] = state.det_stats
-            out = det.apply(variables, batch["image_x0.5"], batch["image_sizes_x0.5"],
-                            gt, rngs={"sampling": rng})
+                out, mutated = det.apply(
+                    {"params": params, "batch_stats": state.det_stats},
+                    batch["image_x0.5"], batch["image_sizes_x0.5"], gt,
+                    rngs={"sampling": rng}, mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = det.apply(
+                    {"params": params}, batch["image_x0.5"],
+                    batch["image_sizes_x0.5"], gt, rngs={"sampling": rng},
+                )
+                new_stats = state.det_stats
             losses, feats = out
             feat_list = [feats[l].astype(jnp.float32) for l in LEVELS]
-            return losses, feat_list
+            return (losses, feat_list), new_stats
 
-        (det_losses, fake), det_vjp = jax.vjp(det_forward, state.det_params)
+        ((det_losses, fake), det_vjp, new_det_stats) = jax.vjp(
+            det_forward, state.det_params, has_aux=True
+        )
 
         # ---------------- D step ----------------
         def d_loss_fn(d_params, d_stats):
@@ -202,7 +215,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
             metrics = jax.lax.pmean(metrics, axis)
 
         new_state = Stage2State(
-            det_params=new_det_params, det_stats=state.det_stats,
+            det_params=new_det_params, det_stats=new_det_stats,
             det_opt=new_det_opt, d_params=new_d_params,
             d_stats=final_d_stats, d_opt=new_d_opt, step=state.step + 1,
         )

@@ -21,7 +21,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .rle import encode_mask
+from .rle import encode_mask, rle_area
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -140,7 +140,12 @@ class CocoEvalNP:
             self._gts[(g["image_id"], g["category_id"])].append(g)
         for d in dt_anns:
             if "area" not in d:
-                d["area"] = d["bbox"][2] * d["bbox"][3]
+                # pycocotools protocol: for segm, area-range ignore decisions
+                # use the MASK area, not the bbox area (ref coco_evaluation).
+                if iou_type == "segm" and "segmentation" in d:
+                    d["area"] = float(rle_area(d["segmentation"]))
+                else:
+                    d["area"] = d["bbox"][2] * d["bbox"][3]
             self._dts[(d["image_id"], d["category_id"])].append(d)
 
     def run(self) -> Dict[str, float]:

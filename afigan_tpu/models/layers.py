@@ -38,8 +38,12 @@ def c2_msra_fill():
 
 
 def c2_xavier_fill():
-    """Caffe2 XavierFill == kaiming_uniform(fan_in) (d2 weight_init)."""
-    return nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+    """Caffe2 XavierFill == fvcore c2_xavier_fill == kaiming_uniform_(a=1).
+
+    gain = sqrt(2 / (1 + a^2)) = 1 for a=1, i.e. variance scale 1.0 fan_in
+    uniform (NOT 2.0 — that would be kaiming_uniform(a=0), sqrt(2) too wide).
+    """
+    return nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,7 @@ def multilevel_roi_align_windowed(
     canonical_size: float = 224.0,
     canonical_level: int = 4,
     window: int = 0,
+    overflow_slots: int = 64,
 ) -> jnp.ndarray:
     """ROIAlign as per-ROI window extraction + two interpolation matmuls.
 
@@ -254,8 +255,8 @@ def multilevel_roi_align_windowed(
     of two 1-D linear interpolations; averaging the S x S samples first is
     linear, so it folds into the interpolation matrices), but structured
     for TPU: instead of ~P*P*S*S*4 scalar gathers per ROI, each ROI does
-    ONE contiguous (window, window, C) slice-gather from a stacked level
-    tensor followed by two small MXU matmuls:
+    ONE contiguous (window, window, C) slice-gather from a row-concatenated
+    level tensor followed by two small MXU matmuls:
 
         out[p, q, :] = (Ry @ W @ Rx^T)[p, q, :]
         Ry[p, k] = mean_s relu(1 - |y_rel[p, s] - k|)   (7 x window)
@@ -263,12 +264,20 @@ def multilevel_roi_align_windowed(
     Measured ~10x faster than the per-point gather on v5e and fully
     differentiable (backward = scatter of windows + transposed matmuls).
 
-    Constraint: ``window`` must cover the largest ROI extent at its
-    assigned level. With d2's level router the extent is <= 30 px except
-    for clamp-to-top-level boxes, which are bounded by the LAST level's
-    own spatial size — so ``window=0`` (auto) picks
-    round8(max(48, top-level max dim + 2)) from the static feature shapes
-    (48 for the standard 800x1344 buckets; larger under e.g. TTA 4000px).
+    Memory layout: levels are concatenated along H (each padded to width
+    Wmax and height >= window) into one (sumH, Wmax, C) tensor — ~1.33x
+    the p2 plane instead of the naive num_levels x Hmax stack (this was
+    the batch-16 blocker). Rows read past a level's true height get exactly
+    zero interpolation weight (clamped rel coords stay <= H_l - 1), so
+    windows may safely straddle the padding.
+
+    Elongated-ROI overflow: the level router bounds sqrt(area)/stride by
+    ~28 but a ROI's per-axis extent is ~28*sqrt(aspect); any ROI whose
+    (clamped) sample span exceeds ``window`` has trailing bins with zero
+    weight. Such ROIs are detected and recomputed EXACTLY with the
+    point-gather pooler through a fixed budget of ``overflow_slots``
+    correction slots (static shapes; top_k selection). With window=48 the
+    slots engage only for aspect ratio >~ 3 boxes.
     """
     num_levels = len(features)
     c = features[0].shape[-1]
@@ -282,14 +291,16 @@ def multilevel_roi_align_windowed(
     if window <= 0:
         top_extent = max(int(heights[-1]), int(widths[-1])) + 2
         window = int(np.ceil(max(48, top_extent) / 8) * 8)
-    hmax = max(int(heights.max()), window)
     wmax = max(int(widths.max()), window)
-    # stacked (L, Hmax, Wmax, C) tensor: one dynamic-slice source
-    stacked = jnp.stack(
+    # Row-concatenated (sumH, Wmax, C) tensor: one dynamic-slice source.
+    pad_h = np.maximum(heights, window)
+    row_base = np.concatenate([[0], np.cumsum(pad_h)])[:-1].astype(np.int32)
+    concat = jnp.concatenate(
         [
-            jnp.pad(f, ((0, hmax - f.shape[0]), (0, wmax - f.shape[1]), (0, 0)))
-            for f in features
-        ]
+            jnp.pad(f, ((0, int(ph) - f.shape[0]), (0, wmax - f.shape[1]), (0, 0)))
+            for f, ph in zip(features, pad_h)
+        ],
+        axis=0,
     )
 
     min_level = int(np.log2(strides[0]))
@@ -299,6 +310,7 @@ def multilevel_roi_align_windowed(
     scales = jnp.asarray([1.0 / st for st in strides], dtype=boxes.dtype)[levels]
     lvl_h = jnp.asarray(heights)[levels]
     lvl_w = jnp.asarray(widths)[levels]
+    lvl_base = jnp.asarray(row_base)[levels]
 
     # absolute sample coords (R, P*S) per axis (d2 aligned formula)
     offset = 0.5 if aligned else 0.0
@@ -319,7 +331,7 @@ def multilevel_roi_align_windowed(
     xs = x1[:, None] + grid[None, :] * (roi_w / p)[:, None]
 
     def axis_matrix(coords, size, win_start):
-        """(R, P*S) abs coords -> (R, P, window) pooled interp matrix."""
+        """(R, P*S) abs coords -> (R, P, window) matrix + per-ROI max rel."""
         # d2 border handling: outside [-1, size] -> zero; else clamp [0, size-1]
         valid = (coords >= -1.0) & (coords <= size[:, None].astype(coords.dtype))
         cl = jnp.clip(coords, 0.0, None)
@@ -329,7 +341,7 @@ def multilevel_roi_align_windowed(
         a = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - k[None, None, :]))
         a = a * valid[:, :, None]
         a = a.reshape(r, p, s, window)
-        return jnp.mean(a, axis=2)  # fold the sample average in
+        return jnp.mean(a, axis=2), jnp.max(rel, axis=1)
 
     # window starts (clamped so the window stays inside the level extent)
     def win_start(coords, size):
@@ -340,21 +352,36 @@ def multilevel_roi_align_windowed(
     wy = win_start(ys, lvl_h)
     wx = win_start(xs, lvl_w)
 
-    ry = axis_matrix(ys, lvl_h, wy).astype(dtype)  # (R, P, window)
-    rx = axis_matrix(xs, lvl_w, wx).astype(dtype)
+    ry, max_rel_y = axis_matrix(ys, lvl_h, wy)  # (R, P, window)
+    rx, max_rel_x = axis_matrix(xs, lvl_w, wx)
+    ry = ry.astype(dtype)
+    rx = rx.astype(dtype)
 
     windows = jax.vmap(
-        lambda l, y, x: jax.lax.dynamic_slice(
-            stacked, (l, y, x, 0), (1, window, window, c)
-        )[0]
-    )(levels, wy, wx)  # (R, window, window, C)
+        lambda row, x: jax.lax.dynamic_slice(
+            concat, (row, x, 0), (window, window, c)
+        )
+    )(lvl_base + wy, wx)  # (R, window, window, C)
 
     # out[r] = Ry[r] @ win[r] @ Rx[r]^T  (two batched MXU matmuls)
     tmp = jnp.einsum("rpk,rkwc->rpwc", ry, windows,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("rqw,rpwc->rpqc", rx, tmp.astype(dtype),
                      preferred_element_type=jnp.float32)
-    return out.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+
+    # --- exact correction for window-overflow (high-aspect) ROIs ---
+    if overflow_slots > 0 and r > 0:
+        overflow = (max_rel_y > window - 1.0) | (max_rel_x > window - 1.0)
+        k_slots = min(int(overflow_slots), r)
+        _, sel = jax.lax.top_k(overflow.astype(jnp.float32), k_slots)
+        corrected = multilevel_roi_align(
+            list(features), boxes[sel], list(strides), output_size,
+            sampling_ratio, aligned, canonical_size, canonical_level,
+        ).astype(jnp.float32)
+        fix = jnp.where(overflow[sel][:, None, None, None], corrected, out[sel])
+        out = out.at[sel].set(fix)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,78 @@ def test_windowed_matches_gather_pooler():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_windowed_elongated_boxes_match_gather():
+    """Aspect-ratio >= 4 ROIs overflow the 48-px window; the overflow
+    correction slots must recompute them exactly (advisor finding: trailing
+    bins silently pooled zeros before)."""
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_windowed
+
+    rng = np.random.RandomState(11)
+    feats = [
+        rng.randn(100, 168, 8).astype(np.float32),
+        rng.randn(50, 84, 8).astype(np.float32),
+        rng.randn(25, 42, 8).astype(np.float32),
+        rng.randn(13, 21, 8).astype(np.float32),
+    ]
+    strides = [4, 8, 16, 32]
+    boxes = np.array(
+        [
+            [0, 100, 400, 150],    # aspect 8 wide → p2/p3, x-extent ~100 px
+            [200, 0, 240, 330],    # aspect ~8 tall
+            [0, 0, 660, 40],       # aspect 16 sliver
+            [8, 8, 60, 50],        # normal box (windowed path)
+            [30, 30, 260, 200],    # normal medium box
+        ],
+        dtype=np.float32,
+    )
+    jf = [jnp.asarray(f) for f in feats]
+    want = np.asarray(multilevel_roi_align(jf, jnp.asarray(boxes), strides, 7, 2))
+    got = np.asarray(
+        multilevel_roi_align_windowed(jf, jnp.asarray(boxes), strides, 7, 2)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # sanity: without correction slots the sliver rows would actually differ
+    broken = np.asarray(
+        multilevel_roi_align_windowed(
+            jf, jnp.asarray(boxes), strides, 7, 2, overflow_slots=0
+        )
+    )
+    assert np.abs(broken[:3] - want[:3]).max() > 0.1
+    np.testing.assert_allclose(broken[3:], want[3:], rtol=1e-4, atol=1e-4)
+
+
+def test_fast_pooler_elongated_grad_consistency():
+    """The custom-VJP pooler's forward (with overflow correction) and its
+    point-scatter backward must agree with autodiff through the gather
+    pooler for elongated boxes too."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rng = np.random.RandomState(13)
+    feats = tuple(
+        jnp.asarray(rng.randn(h, w, 4).astype(np.float32))
+        for h, w in [(64, 96), (32, 48), (16, 24), (8, 12)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = jnp.asarray(
+        np.array([[0, 40, 350, 80], [10, 0, 50, 330], [4, 4, 60, 44]], np.float32)
+    )
+    got = np.asarray(multilevel_roi_align_fast(feats, boxes, strides, 7, 2))
+    want = np.asarray(multilevel_roi_align(list(feats), boxes, list(strides), 7, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def loss_fast(fs):
+        return jnp.sum(multilevel_roi_align_fast(fs, boxes, strides, 7, 2) ** 2)
+
+    def loss_ref(fs):
+        return jnp.sum(multilevel_roi_align(list(fs), boxes, list(strides), 7, 2) ** 2)
+
+    g_fast = jax.grad(loss_fast)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
 def test_fast_pooler_forward_and_grad_match_gather():
     """custom-VJP pooler: forward == gather pooler; grads == autodiff grads."""
     import jax
