@@ -55,6 +55,9 @@ class CocoDataset:
 
         self.annotations = coco.get("annotations", [])  # raw, for evaluation GT
         self.img_ids = [im["id"] for im in coco.get("images", [])]
+        self.img_hw = {
+            im["id"]: (im["height"], im["width"]) for im in coco.get("images", [])
+        }
 
         self.records: List[Dict] = []
         for im in coco.get("images", []):

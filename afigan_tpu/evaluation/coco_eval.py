@@ -284,9 +284,27 @@ class CocoEvaluator:
 
         results = {}
         for task in self.tasks:
+            gt_anns = self.dataset.annotations
+            if task == "segm":
+                gt_anns = [self._gt_segm_to_rle(g) for g in gt_anns]
             ev = CocoEvalNP(
-                self.dataset.annotations, predictions,
+                gt_anns, predictions,
                 self.dataset.img_ids, self.dataset.cat_ids, iou_type=task,
             )
             results[task] = ev.run()
         return results
+
+    def _gt_segm_to_rle(self, g: Dict) -> Dict:
+        """GT polygon segmentations → RLE (pycocotools annToRLE semantics);
+        RLE dicts (crowd regions) pass through unchanged."""
+        seg = g.get("segmentation")
+        if not isinstance(seg, list):
+            return g
+        from .rle import encode_mask, polygons_to_mask
+
+        h, w = self.dataset.img_hw[g["image_id"]]
+        out = dict(g)
+        out["segmentation"] = encode_mask(
+            polygons_to_mask(seg, int(h), int(w)).astype(np.uint8)
+        )
+        return out

@@ -97,6 +97,19 @@ def t_linear(w):  # (out,in) -> (in,out)
     return np.ascontiguousarray(w.T)
 
 
+def t_linear_from_chw(w, pool: int = 7):  # first FC after NCHW spatial flatten
+    """d2 box heads flatten pooled features in (C, H, W) order; our NHWC head
+    flattens (H, W, C). Permute fc1's input dim accordingly. d2 box-head
+    poolers are always 7x7 (ROI_BOX_HEAD.POOLER_RESOLUTION); if the input
+    dim is not divisible by 49 fall back to a plain transpose."""
+    out_f, in_f = w.shape
+    if in_f % (pool * pool) != 0:
+        return t_linear(w)
+    c = in_f // (pool * pool)
+    w4 = w.reshape(out_f, c, pool, pool).transpose(0, 2, 3, 1).reshape(out_f, in_f)
+    return np.ascontiguousarray(w4.T)
+
+
 def t_id(w):
     return np.asarray(w)
 
@@ -355,10 +368,15 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
     if m:
         stage, i, wb = m.groups()
         head = f"box_head_{stage}" if stage is not None else "box_head"
+        # fc1 consumes the spatially-flattened pooled map: CHW (torch) vs
+        # HWC (ours) — permute its input dim; later FCs see flat vectors.
+        tf = t_linear_from_chw if (wb == "weight" and i == "1") else (
+            t_linear if wb == "weight" else t_id
+        )
         return (
             "params",
             ("roi_heads", head, f"fc{i}", "kernel" if wb == "weight" else "bias"),
-            t_linear if wb == "weight" else t_id,
+            tf,
         )
     m = re.match(r"^roi_heads\.box_head\.(?:(\d)\.)?conv(\d)\.(.+)$", k)
     if m:

@@ -111,3 +111,41 @@ def test_segm_iou_path():
     dts = [dict(_ann(1, 1, [10, 10, 20, 20], score=0.9), segmentation=encode_mask(m1))]
     res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1], iou_type="segm").run()
     assert abs(res["AP"] - 100.0) < 1e-6
+
+
+def test_polygon_gt_segm_through_evaluator():
+    """CocoEvaluator must rasterize polygon GT to RLE before segm IoU
+    (regression: polygon lists used to reach rle_iou unconverted and
+    crashed on the first valid detection)."""
+    from afigan_tpu.evaluation.coco_eval import CocoEvaluator
+    from afigan_tpu.evaluation.rle import encode_mask
+
+    class _DS:
+        img_ids = [1]
+        cat_ids = [7]
+        contiguous_to_cat_id = {0: 7}
+        img_hw = {1: (50, 60)}
+        annotations = [
+            {
+                "id": 1, "image_id": 1, "category_id": 7,
+                "bbox": [10, 10, 20, 15], "area": 300.0, "iscrowd": 0,
+                "segmentation": [[10, 10, 30, 10, 30, 25, 10, 25]],
+            }
+        ]
+
+    ev = CocoEvaluator(_DS(), tasks=("bbox", "segm"))
+    mask = np.zeros((50, 60), np.float32)
+    # cv2.fillPoly includes the boundary: the [10,30]x[10,25] polygon
+    # rasterizes to rows 10..25, cols 10..30 inclusive
+    mask[10:26, 10:31] = 1.0
+    ev.process(
+        [1],
+        boxes=np.array([[[10, 10, 30, 25]]], np.float32),
+        scores=np.array([[0.9]], np.float32),
+        classes=np.array([[0]], np.int32),
+        valid=np.array([[True]]),
+        masks=[[mask]],
+    )
+    res = ev.evaluate()
+    assert abs(res["bbox"]["AP"] - 100.0) < 1e-6
+    assert abs(res["segm"]["AP"] - 100.0) < 1e-6
