@@ -30,7 +30,13 @@ Dtype = Any
 
 
 def _maxpool_same_s2(x):
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+    """Exact replica of the reference MaxPool2d(3, 2, 'static_same')
+    (ref wrappers.py:224-253): ZERO-pad right/bottom by (k - s) = 1, then
+    VALID 3x3/s2 max pool. Differs from lax 'SAME' on odd inputs (output
+    floor((H-1)/2)+1, not ceil(H/2)) and includes the zero padding in the
+    max (F.pad default), both of which matter for checkpoint parity."""
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
 
 def _swish(x):
@@ -54,12 +60,15 @@ class BiFPN(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _fuse(self, name: str, inputs: List[jnp.ndarray]) -> jnp.ndarray:
-        """ReLU-normalized weighted fusion (ref :531-536)."""
+        """Weighted fusion with RAW learned weights (ref quirk).
+
+        The reference defines _weight_act (relu + normalize, :531-533,
+        EfficientDet-style) but its unrolled forward never calls it: each
+        _feature_funsion fetches the raw Parameter and _attention computes
+        sum(w_i * x_i) directly (:542-563) — no relu, no normalization.
+        Matched exactly for checkpoint parity (init ones == plain sum)."""
         w = self.param(name, nn.initializers.ones, (len(inputs),))
-        w = jax.nn.relu(w.astype(jnp.float32))
-        # NOTE: ref _feature_funsion normalizes via _weight_act only where
-        # used; the unrolled forward calls _attention with RAW relu weights
-        # (sum of w*x, no normalization) — match that.
+        w = w.astype(jnp.float32)
         return sum(x * wi.astype(x.dtype) for x, wi in zip(inputs, w))
 
     @nn.compact
@@ -83,9 +92,11 @@ class BiFPN(nn.Module):
                 return y[:, : target_hw[0], : target_hw[1]]
 
         def bn(name):
-            return get_norm("BN" if self.norm in ("BN", "SyncBN") else self.norm,
-                            self.out_channels, dtype=self.dtype, train=self.train,
-                            axis_name=self.axis_name, name=f"{name}_bn")
+            # ref BiFPN BNs: eps 1e-3, torch momentum 0.01 (== flax 0.99).
+            # SyncBN passes through (psum over the data axis when meshed).
+            return get_norm(self.norm, self.out_channels, dtype=self.dtype,
+                            train=self.train, axis_name=self.axis_name,
+                            name=f"{name}_bn", bn_eps=1e-3, bn_momentum=0.99)
 
         c3, c4, c5 = (bottom_up_features[f] for f in self.in_features)
 
@@ -108,8 +119,8 @@ class BiFPN(nn.Module):
         laterals = (p3_in, p4_in, p5_in, p6_in, p7_in)
         feats = laterals
 
-        sep_kw = dict(norm="BN" if self.norm in ("BN", "SyncBN") else self.norm,
-                      train=self.train, axis_name=self.axis_name, dtype=self.dtype)
+        sep_kw = dict(norm=self.norm, train=self.train, axis_name=self.axis_name,
+                      dtype=self.dtype, bn_eps=1e-3, bn_momentum=0.99)
 
         for l in range(self.fpn_repeat):
             p3, p4, p5, p6, p7 = feats

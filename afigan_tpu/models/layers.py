@@ -76,12 +76,16 @@ class FrozenBatchNorm(nn.Module):
 
 def get_norm(norm: str, features: int, *, dtype=jnp.float32,
              train: bool = False, axis_name: Optional[str] = None,
-             name: str = "norm"):
+             name: str = "norm", bn_eps: float = 1e-5,
+             bn_momentum: float = 0.9):
     """d2 get_norm equivalent: '' | 'BN' | 'SyncBN' | 'FrozenBN' | 'GN'.
 
     "SyncBN" is BatchNorm with batch stats psum-averaged over the data
     mesh axis (the TPU-native NCCL SyncBatchNorm); outside any mesh
     context it degrades to plain BatchNorm.
+
+    ``bn_momentum`` uses the FLAX convention (ema = m*ema + (1-m)*new);
+    torch momentum 0.01 == flax momentum 0.99 (BiFPN BNs).
     """
     if not norm:
         return None
@@ -90,8 +94,8 @@ def get_norm(norm: str, features: int, *, dtype=jnp.float32,
     if norm in ("BN", "SyncBN"):
         return nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
+            momentum=bn_momentum,
+            epsilon=bn_eps,
             axis_name=axis_name if norm == "SyncBN" else None,
             dtype=dtype,
             param_dtype=jnp.float32,
@@ -260,6 +264,8 @@ class SeparableConv(nn.Module):
     dtype: Dtype = jnp.float32
     train: bool = False
     axis_name: Optional[str] = None
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x):
@@ -284,7 +290,8 @@ class SeparableConv(nn.Module):
             name="pointwise",
         )(y)
         norm = get_norm(self.norm, self.features, dtype=self.dtype,
-                        train=self.train, axis_name=self.axis_name)
+                        train=self.train, axis_name=self.axis_name,
+                        bn_eps=self.bn_eps, bn_momentum=self.bn_momentum)
         if norm is not None:
             y = norm(y)
         if self.activation is not None:

@@ -151,7 +151,7 @@ class SwinBlock(nn.Module):
         ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
 
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
 
         hp = int(np.ceil(h / ws_eff)) * ws_eff
         wp = int(np.ceil(w / ws_eff)) * ws_eff
@@ -174,7 +174,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, self.train, name="drop_path1")(y)
 
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(z)
         z = jax.nn.gelu(z, approximate=False)
@@ -197,7 +197,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         y = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y.astype(jnp.float32)).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(y.astype(jnp.float32)).astype(self.dtype)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="reduction")(y)
 
@@ -225,7 +225,7 @@ class SwinTransformer(nn.Module):
         y = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     param_dtype=jnp.float32, name="patch_embed")(x.astype(self.dtype))
         if self.patch_norm:
-            y = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(
                 y.astype(jnp.float32)
             ).astype(self.dtype)
 
@@ -248,7 +248,7 @@ class SwinTransformer(nn.Module):
                 blk += 1
             name = f"stage{i+2}"
             if name in self.out_features:
-                o = nn.LayerNorm(dtype=jnp.float32, name=f"norm_{name}")(
+                o = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_{name}")(
                     y.astype(jnp.float32)
                 ).astype(self.dtype)
                 out[name] = o

@@ -39,20 +39,27 @@ PAD = 8  # DMA alignment: Mosaic requires 8-aligned sublane slice sizes,
 # so the input is padded with 8 (not 5) and the kernel trims the extra 3.
 
 
-def _conv3x3_from(buf, w, out_h, out_w, acc=None):
-    """3x3 'valid' conv of buf[(H+2, W+2, Cin)] → (out_h*out_w, Cout) fp32.
+def _conv3x3_from_ref(ref, base, w_ref, out_h, out_w, acc=None):
+    """3x3 conv reading patches DIRECTLY from a scratch ref → fp32 acc.
 
-    Implemented as 9 shifted matmuls on the MXU.
+    Implemented as 9 shifted matmuls on the MXU. Slicing the ref per
+    (dy, dx) keeps each patch load transient (live only for its matmul):
+    materializing the whole window as a value first kept ~20 MB live and
+    blew the 16 MB VMEM stack limit (the round-1 'Mosaic SIGKILL').
+
+    ``base``: static offset of the output's logical origin within the
+    ref = source_halo - out_halo - 1.
     """
-    cin = buf.shape[-1]
-    cout = w.shape[-1]
+    cin = ref.shape[-1]
+    cout = w_ref.shape[-1]
     if acc is None:
         acc = jnp.zeros((out_h * out_w, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            patch = buf[dy : dy + out_h, dx : dx + out_w, :].reshape(-1, cin)
+            patch = ref[base + dy : base + dy + out_h,
+                        base + dx : base + dx + out_w, :].reshape(-1, cin)
             acc = acc + jnp.dot(
-                patch, w[dy, dx], preferred_element_type=jnp.float32
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
             )
     return acc
 
@@ -100,51 +107,52 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
     cp.wait()
 
     f32 = jnp.float32
-    # logical halo-5 window (value slicing at odd offsets is supported)
-    xb = xs[...][PAD - HALO : -(PAD - HALO), PAD - HALO : -(PAD - HALO), :]
+    # Patches are sliced straight off the scratch refs (never a whole
+    # window value). Offsets: base = source_halo - out_halo - 1, where
+    # xs carries halo PAD=8 and c_i carries halo 5-i.
 
     # conv1: x(halo5) -> c1(halo4)
     h1, w1_ = tile_h + 8, tile_w + 8
-    c1 = _leaky(_conv3x3_from(xb, w1[...], h1, w1_)).reshape(h1, w1_, growth)
+    c1 = _leaky(_conv3x3_from_ref(xs, PAD - 5, w1, h1, w1_)).reshape(h1, w1_, growth)
     c1 = c1 * _inside_image_mask(ti, tj, tile_h, tile_w, 4, h1, w1_, h, w)
     c1s[...] = c1.astype(xs.dtype)
 
     # conv2: [x, c1](halo4) -> c2(halo3)
     h2, w2_ = tile_h + 6, tile_w + 6
-    acc = _conv3x3_from(xb[1:-1, 1:-1, :], w2x[...], h2, w2_)
-    acc = _conv3x3_from(c1s[...], w2c1[...], h2, w2_, acc)
+    acc = _conv3x3_from_ref(xs, PAD - 4, w2x, h2, w2_)
+    acc = _conv3x3_from_ref(c1s, 0, w2c1, h2, w2_, acc)
     c2 = _leaky(acc).reshape(h2, w2_, growth)
     c2 = c2 * _inside_image_mask(ti, tj, tile_h, tile_w, 3, h2, w2_, h, w)
     c2s[...] = c2.astype(xs.dtype)
 
     # conv3: [x, c1, c2](halo3) -> c3(halo2)
-    # (per-input matmul accumulation — Mosaic cannot concat offset slices,
-    # and skipping the concat avoids materializing it anyway)
+    # (per-input matmul accumulation — conv_i over cat(x, c1..c_{i-1})
+    # equals the sum of per-input matmul groups; no concat materialized)
     h3, w3_ = tile_h + 4, tile_w + 4
-    acc = _conv3x3_from(xb[2:-2, 2:-2, :], w3x[...], h3, w3_)
-    acc = _conv3x3_from(c1s[1:-1, 1:-1, :], w3c1[...], h3, w3_, acc)
-    acc = _conv3x3_from(c2s[...], w3c2[...], h3, w3_, acc)
+    acc = _conv3x3_from_ref(xs, PAD - 3, w3x, h3, w3_)
+    acc = _conv3x3_from_ref(c1s, 1, w3c1, h3, w3_, acc)
+    acc = _conv3x3_from_ref(c2s, 0, w3c2, h3, w3_, acc)
     c3 = _leaky(acc).reshape(h3, w3_, growth)
     c3 = c3 * _inside_image_mask(ti, tj, tile_h, tile_w, 2, h3, w3_, h, w)
     c3s[...] = c3.astype(xs.dtype)
 
     # conv4: [x, c1, c2, c3](halo2) -> c4(halo1)
     h4, w4_ = tile_h + 2, tile_w + 2
-    acc = _conv3x3_from(xb[3:-3, 3:-3, :], w4x[...], h4, w4_)
-    acc = _conv3x3_from(c1s[2:-2, 2:-2, :], w4c1[...], h4, w4_, acc)
-    acc = _conv3x3_from(c2s[1:-1, 1:-1, :], w4c2[...], h4, w4_, acc)
-    acc = _conv3x3_from(c3s[...], w4c3[...], h4, w4_, acc)
+    acc = _conv3x3_from_ref(xs, PAD - 2, w4x, h4, w4_)
+    acc = _conv3x3_from_ref(c1s, 2, w4c1, h4, w4_, acc)
+    acc = _conv3x3_from_ref(c2s, 1, w4c2, h4, w4_, acc)
+    acc = _conv3x3_from_ref(c3s, 0, w4c3, h4, w4_, acc)
     c4 = _leaky(acc).reshape(h4, w4_, growth)
     c4 = c4 * _inside_image_mask(ti, tj, tile_h, tile_w, 1, h4, w4_, h, w)
     c4s[...] = c4.astype(xs.dtype)
 
     # conv5: [x, c1..c4](halo1) -> c5(tile); out = x + 0.2*c5
-    acc = _conv3x3_from(xb[4:-4, 4:-4, :], w5x[...], tile_h, tile_w)
-    acc = _conv3x3_from(c1s[3:-3, 3:-3, :], w5c1[...], tile_h, tile_w, acc)
-    acc = _conv3x3_from(c2s[2:-2, 2:-2, :], w5c2[...], tile_h, tile_w, acc)
-    acc = _conv3x3_from(c3s[1:-1, 1:-1, :], w5c3[...], tile_h, tile_w, acc)
-    acc = _conv3x3_from(c4s[...], w5c4[...], tile_h, tile_w, acc)
-    center = xb[HALO : HALO + tile_h, HALO : HALO + tile_w, :].astype(f32)
+    acc = _conv3x3_from_ref(xs, PAD - 1, w5x, tile_h, tile_w)
+    acc = _conv3x3_from_ref(c1s, 3, w5c1, tile_h, tile_w, acc)
+    acc = _conv3x3_from_ref(c2s, 2, w5c2, tile_h, tile_w, acc)
+    acc = _conv3x3_from_ref(c3s, 1, w5c3, tile_h, tile_w, acc)
+    acc = _conv3x3_from_ref(c4s, 0, w5c4, tile_h, tile_w, acc)
+    center = xs[PAD : PAD + tile_h, PAD : PAD + tile_w, :].astype(f32)
     out = center + residual_scale * acc.reshape(tile_h, tile_w, channels)
     out_ref[...] = out[None].astype(out_ref.dtype)
 

@@ -341,6 +341,62 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
         if rest in _NORM_SUFFIX:
             return norm_dest(base, rest)
 
+    # ---- BiFPN (ref bifpn_sr.py: BeforeBiFPNLayer + unrolled layers) ----
+    m = re.match(
+        r"^backbone\.before_bifpn\.(lateral\d|p\d_skip)\.([01])\.(.+)$", k
+    )
+    if m:
+        name, part, rest = m.groups()
+        if part == "0":  # 1x1 conv
+            if rest == "weight":
+                return "params", ("backbone", "pyramid", name, "conv", "kernel"), t_conv
+            if rest == "bias":
+                return "params", ("backbone", "pyramid", name, "conv", "bias"), t_id
+        else:  # BatchNorm
+            key2 = f"norm.{rest}"
+            if key2 in _NORM_SUFFIX:
+                leaf, tf, kind = _NORM_SUFFIX[key2]
+                coll = "params" if kind == "norm_param" else "batch_stats"
+                return coll, ("backbone", "pyramid", f"{name}_bn", leaf), tf
+    m = re.match(
+        r"^backbone\.before_bifpn\.top_block\.p6\.(conv|norm)\.(.+)$", k
+    )
+    if m:
+        part, rest = m.groups()
+        if part == "conv":
+            if rest == "weight":
+                return "params", ("backbone", "pyramid", "p6_resample", "conv", "kernel"), t_conv
+            if rest == "bias":
+                return "params", ("backbone", "pyramid", "p6_resample", "conv", "bias"), t_id
+        else:
+            key2 = f"norm.{rest}"
+            if key2 in _NORM_SUFFIX:
+                leaf, tf, kind = _NORM_SUFFIX[key2]
+                coll = "params" if kind == "norm_param" else "batch_stats"
+                return coll, ("backbone", "pyramid", "p6_resample_bn", leaf), tf
+    m = re.match(
+        r"^backbone\.BiFPNLayer_(\d+)_conv(\d)_(up|down)\.(depthwise|pointwise|norm)\.(.+)$",
+        k,
+    )
+    if m:
+        layer, idx, direction, part, rest = m.groups()
+        base = ("backbone", "pyramid", f"layer{layer}_conv{idx}_{direction}")
+        if part in ("depthwise", "pointwise"):
+            if rest == "weight":
+                return "params", base + (part, "kernel"), t_conv
+            if rest == "bias":
+                return "params", base + (part, "bias"), t_id
+        else:
+            key2 = f"norm.{rest}"
+            if key2 in _NORM_SUFFIX:
+                leaf, tf, kind = _NORM_SUFFIX[key2]
+                coll = "params" if kind == "norm_param" else "batch_stats"
+                return coll, base + ("norm", leaf), tf
+    m = re.match(r"^backbone\.BiFPNLayer_(\d+)_p(\d)_w([12])$", k)
+    if m:
+        layer, idx, wi = m.groups()
+        return "params", ("backbone", "pyramid", f"layer{layer}_p{idx}_w{wi}"), t_id
+
     # ---- srf_module inside any pyramid ----
     m = re.match(r"^backbone\.srf_module\.Generators\.(.+)$", k)
     if m:
