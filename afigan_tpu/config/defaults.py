@@ -219,6 +219,13 @@ _C.INPUT.MAX_SIZE_TEST = 1333
 _C.INPUT.CROP = CN({"ENABLED": False})
 _C.INPUT.CROP.TYPE = "relative_range"
 _C.INPUT.CROP.SIZE = [0.9, 0.9]
+# Framework extension: d2-style color jitter (BlendTransform weights
+# sampled uniformly from the [lo, hi] ranges; ref transform_gen.py:312-417
+# RandomContrast/RandomBrightness/RandomSaturation)
+_C.INPUT.COLOR_JITTER = CN({"ENABLED": False})
+_C.INPUT.COLOR_JITTER.BRIGHTNESS = [0.9, 1.1]
+_C.INPUT.COLOR_JITTER.CONTRAST = [0.9, 1.1]
+_C.INPUT.COLOR_JITTER.SATURATION = [0.9, 1.1]
 _C.INPUT.FORMAT = "BGR"
 _C.INPUT.MASK_FORMAT = "polygon"
 

@@ -67,6 +67,19 @@ class DatasetMapper:
         self.max_gt = cfg.TPU.MAX_GT_BOXES
         self.mask_canvas = cfg.TPU.MASK_CANVAS
         self.mask_on = cfg.MODEL.MASK_ON
+        # INPUT.CROP (d2 RandomCrop, instance-aware: the sampled window
+        # must contain a random instance's center, ref afigan_utils.py:379)
+        self.crop_enabled = bool(is_train and cfg.INPUT.CROP.ENABLED)
+        self.crop_type = cfg.INPUT.CROP.TYPE
+        self.crop_size = tuple(cfg.INPUT.CROP.SIZE)
+        cj = cfg.INPUT.COLOR_JITTER
+        self.color_ranges = None
+        if is_train and cj.ENABLED:
+            self.color_ranges = {
+                "brightness": tuple(cj.BRIGHTNESS),
+                "contrast": tuple(cj.CONTRAST),
+                "saturation": tuple(cj.SATURATION),
+            }
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, record: Dict) -> Dict:
@@ -76,8 +89,25 @@ class DatasetMapper:
         h, w = img.shape[:2]
 
         if self.is_train:
+            crop = None
+            if self.crop_enabled:
+                from .transforms import sample_crop
+
+                anns = [
+                    o for o in record.get("annotations", [])
+                    if not o.get("iscrowd", 0)
+                ]
+                inst = None
+                if anns:
+                    pick = anns[self.rng.randint(len(anns))]
+                    inst = pick["bbox"]  # xyxy (CocoDataset converts)
+                crop = sample_crop(
+                    self.rng, self.crop_type, self.crop_size, h, w,
+                    instance_box=inst,
+                )
             tf = sample_train_transform(
-                self.rng, h, w, self.min_sizes, self.max_size, self.sampling
+                self.rng, h, w, self.min_sizes, self.max_size, self.sampling,
+                crop=crop, color_ranges=self.color_ranges,
             )
         else:
             tf = test_transform(h, w, self.min_sizes[0], self.max_size)

@@ -16,46 +16,92 @@ and eval resize (min/max size test).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 
 @dataclasses.dataclass
 class ResolvedTransform:
-    """One sampled augmentation, replayable at any scale ratio."""
+    """One sampled augmentation, replayable at any scale ratio.
+
+    Pipeline order (d2 DatasetMapper with INPUT.CROP): crop (ORIGINAL
+    coords) → resize to (new_h, new_w) → hflip → color jitter. The x0.5
+    replay (``at_scale``) halves only the resize target: crop/flip/color
+    are identical, which keeps the stage-1/2 feature pairs consistent.
+    """
 
     orig_h: int
     orig_w: int
     new_h: int
     new_w: int
     hflip: bool
+    # crop window in ORIGINAL image coords (y0, x0, h, w); None = no crop
+    crop: Optional[Tuple[int, int, int, int]] = None
+    # d2 color jitter blend weights (1.0 = identity)
+    brightness: float = 1.0
+    contrast: float = 1.0
+    saturation: float = 1.0
+
+    @property
+    def src_h(self) -> int:
+        return self.crop[2] if self.crop else self.orig_h
+
+    @property
+    def src_w(self) -> int:
+        return self.crop[3] if self.crop else self.orig_w
 
     def at_scale(self, ratio: float) -> "ResolvedTransform":
-        return ResolvedTransform(
-            self.orig_h, self.orig_w,
-            int(self.new_h * ratio), int(self.new_w * ratio), self.hflip,
+        return dataclasses.replace(
+            self, new_h=int(self.new_h * ratio), new_w=int(self.new_w * ratio)
         )
 
     # ---- appliers -------------------------------------------------------
-    def apply_image(self, img: np.ndarray, interp: str = "linear") -> np.ndarray:
+    def apply_image(self, img: np.ndarray, interp: str = "linear",
+                    color: bool = True) -> np.ndarray:
         import cv2
 
+        if self.crop:
+            y0, x0, ch, cw = self.crop
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
         flags = cv2.INTER_LINEAR if interp == "linear" else cv2.INTER_NEAREST
         out = cv2.resize(img, (self.new_w, self.new_h), interpolation=flags)
         if out.ndim == 2:
             out = out[:, :, None]
         if self.hflip:
             out = out[:, ::-1]
+        if color and out.shape[-1] == 3 and (
+            self.brightness != 1.0 or self.contrast != 1.0 or self.saturation != 1.0
+        ):
+            out = self._apply_color(out.astype(np.float32))
         return np.ascontiguousarray(out)
+
+    def _apply_color(self, img: np.ndarray) -> np.ndarray:
+        """d2 BlendTransform numerics: out = w*img + (1-w)*target."""
+        if self.brightness != 1.0:
+            img = self.brightness * img  # target = 0
+        if self.contrast != 1.0:
+            img = self.contrast * img + (1 - self.contrast) * img.mean()
+        if self.saturation != 1.0:
+            # d2 RandomSaturation: grayscale via BGR [0.114, 0.587, 0.299]
+            # (assumes BGR input, the d2/Caffe2 INPUT.FORMAT default)
+            gray = (img * np.array([0.114, 0.587, 0.299], np.float32)).sum(
+                -1, keepdims=True
+            )
+            img = self.saturation * img + (1 - self.saturation) * gray
+        return img
 
     def apply_boxes(self, boxes: np.ndarray) -> np.ndarray:
         """(N, 4) xyxy in original coords -> transformed coords."""
         if boxes.size == 0:
             return boxes.reshape(-1, 4)
-        sx = self.new_w / self.orig_w
-        sy = self.new_h / self.orig_h
         out = boxes.astype(np.float32).copy()
+        if self.crop:
+            y0, x0 = self.crop[0], self.crop[1]
+            out[:, [0, 2]] -= x0
+            out[:, [1, 3]] -= y0
+        sx = self.new_w / self.src_w
+        sy = self.new_h / self.src_h
         out[:, [0, 2]] *= sx
         out[:, [1, 3]] *= sy
         if self.hflip:
@@ -65,11 +111,14 @@ class ResolvedTransform:
         return out
 
     def apply_polygons(self, polygons):
-        sx = self.new_w / self.orig_w
-        sy = self.new_h / self.orig_h
+        sx = self.new_w / self.src_w
+        sy = self.new_h / self.src_h
         out = []
         for p in polygons:
             p = np.asarray(p, dtype=np.float64).reshape(-1, 2).copy()
+            if self.crop:
+                p[:, 0] -= self.crop[1]
+                p[:, 1] -= self.crop[0]
             p[:, 0] *= sx
             p[:, 1] *= sy
             if self.hflip:
@@ -91,6 +140,44 @@ def _shortest_edge_size(h: int, w: int, short: int, max_size: int) -> Tuple[int,
     return int(nh + 0.5), int(nw + 0.5)
 
 
+def get_crop_size(rng: np.random.RandomState, crop_type: str,
+                  crop_size: Sequence[float], h: int, w: int) -> Tuple[int, int]:
+    """d2 RandomCrop.get_crop_size (ref transform_gen.py:220-310)."""
+    if crop_type == "relative":
+        ch, cw = crop_size
+        return int(h * ch + 0.5), int(w * cw + 0.5)
+    if crop_type == "relative_range":
+        cs = np.asarray(crop_size, dtype=np.float32)
+        ch, cw = cs + rng.rand(2) * (1 - cs)
+        return int(h * ch + 0.5), int(w * cw + 0.5)
+    if crop_type == "absolute":
+        return int(crop_size[0]), int(crop_size[1])
+    raise NotImplementedError(f"Unknown crop type {crop_type}")
+
+
+def sample_crop(rng: np.random.RandomState, crop_type: str,
+                crop_size: Sequence[float], h: int, w: int,
+                instance_box=None) -> Tuple[int, int, int, int]:
+    """Sample a crop window (y0, x0, ch, cw); when ``instance_box`` (xyxy)
+    is given the window is guaranteed to contain the instance's center
+    (ref afigan_utils.py:379-406 gen_crop_transform_with_instance)."""
+    ch, cw = get_crop_size(rng, crop_type, crop_size, h, w)
+    ch, cw = min(ch, h), min(cw, w)
+    if instance_box is None:
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        return y0, x0, ch, cw
+    cy = (instance_box[1] + instance_box[3]) * 0.5
+    cx = (instance_box[0] + instance_box[2]) * 0.5
+    min_y = max(int(np.floor(cy)) - ch, 0)
+    min_x = max(int(np.floor(cx)) - cw, 0)
+    max_y = min(max(h - ch, 0), int(np.ceil(cy)))
+    max_x = min(max(w - cw, 0), int(np.ceil(cx)))
+    y0 = rng.randint(min_y, max_y + 1)
+    x0 = rng.randint(min_x, max_x + 1)
+    return y0, x0, ch, cw
+
+
 def sample_train_transform(
     rng: np.random.RandomState,
     h: int,
@@ -99,13 +186,23 @@ def sample_train_transform(
     max_size: int,
     sampling: str = "choice",
     flip_prob: float = 0.5,
+    crop: Optional[Tuple[int, int, int, int]] = None,
+    color_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
 ) -> ResolvedTransform:
     if sampling == "choice":
         short = int(rng.choice(list(min_sizes)))
     else:  # "range"
         short = int(rng.randint(min(min_sizes), max(min_sizes) + 1))
-    nh, nw = _shortest_edge_size(h, w, short, max_size)
-    return ResolvedTransform(h, w, nh, nw, bool(rng.rand() < flip_prob))
+    src_h, src_w = (crop[2], crop[3]) if crop else (h, w)
+    nh, nw = _shortest_edge_size(src_h, src_w, short, max_size)
+    kw = {}
+    for name in ("brightness", "contrast", "saturation"):
+        if color_ranges and name in color_ranges:
+            lo, hi = color_ranges[name]
+            kw[name] = float(rng.uniform(lo, hi))
+    return ResolvedTransform(
+        h, w, nh, nw, bool(rng.rand() < flip_prob), crop=crop, **kw
+    )
 
 
 def test_transform(h: int, w: int, min_size: int, max_size: int) -> ResolvedTransform:

@@ -44,6 +44,7 @@ from .stage2 import init_stage2_state, make_stage2_train_step
 from .stage3 import init_stage3_state, make_stage3_train_step
 from .train_loop import (
     EvalHook,
+    Hook,
     IterationTimer,
     LRLogger,
     PeriodicCheckpointer,
@@ -96,8 +97,37 @@ class _BaseTrainer:
     def _train_dataset(self):
         return get_dataset(self.cfg.DATASETS.TRAIN[0])
 
+    def _precise_bn_hook(self):
+        """d2 hooks.PreciseBN equivalent (ref stage1_trainer.py:177-236):
+        every TEST.EVAL_PERIOD, recompute BN statistics as true batch
+        averages over TEST.PRECISE_BN.NUM_ITER train batches. Returns None
+        when disabled or the model has no BN stats."""
+        cfg = self.cfg
+        if not (cfg.TEST.PRECISE_BN.ENABLED and cfg.TEST.EVAL_PERIOD > 0):
+            return None
+        if not self._bn_stats():
+            return None
+        trainer = self
+
+        class _PreciseBNHook(Hook):
+            def after_step(self, loop):
+                it = loop.storage.iter + 1
+                if it % cfg.TEST.EVAL_PERIOD == 0 or it == loop.max_iter:
+                    trainer.run_precise_bn(cfg.TEST.PRECISE_BN.NUM_ITER)
+
+        return _PreciseBNHook()
+
+    def _bn_stats(self):  # overridden where the state carries BN stats
+        return None
+
+    def run_precise_bn(self, num_iter: int):  # overridden alongside
+        raise NotImplementedError
+
     def _hooks(self, start_iter: int, extra=None):
+        # d2 build_hooks order: eval hooks run BEFORE the writers so eval
+        # scalars land in the same flush (writers must be LAST).
         hooks = [IterationTimer(), LRLogger(self.schedule)]
+        hooks.extend(extra or [])
         if process_is_main():
             hooks.append(
                 PeriodicCheckpointer(self.save, self.cfg.SOLVER.CHECKPOINT_PERIOD)
@@ -107,7 +137,6 @@ class _BaseTrainer:
                     default_writers(self.output_dir, self.cfg.SOLVER.MAX_ITER)
                 )
             )
-        hooks.extend(extra or [])
         return hooks
 
     def save(self, iteration: int):  # overridden
@@ -307,7 +336,14 @@ class AFExtractorTrainer(_BaseTrainer):
             self.state = replicate(self.mesh, self.state)
             self.guide_vars = replicate(self.mesh, self.guide_vars)
 
-        loop = TrainLoop(cfg.SOLVER.MAX_ITER, self._hooks(start_iter), start_iter)
+        # in-training eval every TEST.EVAL_PERIOD (ref stage2_trainer.py:208-214)
+        extra = []
+        pbn = self._precise_bn_hook()
+        if pbn is not None:
+            extra.append(pbn)
+        if cfg.TEST.EVAL_PERIOD > 0 and cfg.DATASETS.TEST:
+            extra.append(EvalHook(self.evaluate, cfg.TEST.EVAL_PERIOD))
+        loop = TrainLoop(cfg.SOLVER.MAX_ITER, self._hooks(start_iter, extra), start_iter)
         key = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
 
         def run_step():
@@ -336,6 +372,81 @@ class AFExtractorTrainer(_BaseTrainer):
         finally:
             if self.loader:
                 self.loader.close()
+
+    def _bn_stats(self):
+        st = self.state
+        return st.det_stats if st.det_stats else None
+
+    def run_precise_bn(self, num_iter: int):
+        """PreciseBN over the stage-2 detector's BN stats (half-res
+        forwards, matching the training distribution)."""
+        from .precise_bn import compute_precise_bn_stats
+
+        cfg = self.cfg
+        det = build_model(cfg, train=True, return_features=True)
+        st = jax.device_get(self.state)
+        params = st.det_params
+        key = jax.random.PRNGKey(max(cfg.SEED, 0) + 777)
+
+        fwd = jax.jit(
+            lambda s, image, sizes, gt, k: det.apply(
+                {"params": params, "batch_stats": s}, image, sizes, gt,
+                rngs={"sampling": k}, mutable=["batch_stats"],
+            )[1]["batch_stats"]
+        )
+        loader = build_train_loader(
+            cfg, self._train_dataset(), dual_scale=True,
+            seed=max(cfg.SEED, 0) + 999,
+        )
+
+        def forward(s, batch):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return fwd(
+                s, jnp.asarray(batch["image_x0.5"]),
+                jnp.asarray(batch["image_sizes_x0.5"]),
+                _gt_from_batch(batch["gt_x0.5"]), sub,
+            )
+
+        try:
+            new_stats = compute_precise_bn_stats(
+                forward, st.det_stats, loader, num_iter
+            )
+        finally:
+            loader.close()
+        new_state = self.state._replace(
+            det_stats=jax.tree.map(np.asarray, jax.device_get(new_stats))
+        )
+        if self.mesh is not None:
+            new_state = replicate(self.mesh, jax.device_get(new_state))
+        self.state = new_state
+
+    def evaluate(self):
+        """Inference-mode AF-extractor eval at HALF resolution.
+
+        The AF-extractor consumes x0.5 images during training (ref
+        rcnn_extractor.py:110-117); its in-training EvalHook (ref
+        stage2_trainer.py:208-214) therefore evaluates the detector on
+        half-res inputs (the reference's own inference path had quirk Q1;
+        this is the intended behavior)."""
+        from .inference import run_inference
+
+        cfg = self.cfg.clone()
+        cfg.defrost()
+        cfg.INPUT.MIN_SIZE_TEST = int(round(cfg.INPUT.MIN_SIZE_TEST * 0.5))
+        cfg.INPUT.MAX_SIZE_TEST = int(round(cfg.INPUT.MAX_SIZE_TEST * 0.5))
+        # the AFExtractor meta-arch returns (detections, features); eval
+        # wants the plain detector surface (same params tree)
+        cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+        cfg.freeze()
+        model = build_model(cfg, train=False)
+        st = jax.device_get(self.state)
+        variables = {"params": st.det_params}
+        if st.det_stats:
+            variables["batch_stats"] = st.det_stats
+        return run_inference(
+            cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
+        )
 
 
 class TargetDetectorTrainer(_BaseTrainer):
@@ -407,6 +518,9 @@ class TargetDetectorTrainer(_BaseTrainer):
             self.state = replicate(self.mesh, self.state)
 
         extra = []
+        pbn = self._precise_bn_hook()
+        if pbn is not None:  # runs before EvalHook → eval sees precise stats
+            extra.append(pbn)
         if cfg.TEST.EVAL_PERIOD > 0 and cfg.DATASETS.TEST:
             extra.append(EvalHook(self.evaluate, cfg.TEST.EVAL_PERIOD))
         loop = TrainLoop(cfg.SOLVER.MAX_ITER, self._hooks(start_iter, extra), start_iter)
@@ -448,3 +562,51 @@ class TargetDetectorTrainer(_BaseTrainer):
         return run_inference(
             cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
         )
+
+    def _bn_stats(self):
+        st = self.state
+        return st.stats if st.stats else None
+
+    def run_precise_bn(self, num_iter: int):
+        """Replace BN running stats with true batch averages (d2
+        hooks.PreciseBN; ref stage1_trainer.py:177-236)."""
+        from .precise_bn import compute_precise_bn_stats
+
+        cfg = self.cfg
+        det = build_model(cfg, train=True)
+        st = jax.device_get(self.state)
+        params = st.params
+        key = jax.random.PRNGKey(max(cfg.SEED, 0) + 777)
+
+        fwd = jax.jit(
+            lambda s, image, sizes, gt, k: det.apply(
+                {"params": params, "batch_stats": s}, image, sizes, gt,
+                rngs={"sampling": k}, mutable=["batch_stats"],
+            )[1]["batch_stats"]
+        )
+        loader = build_train_loader(
+            cfg, self._train_dataset(), dual_scale=False,
+            seed=max(cfg.SEED, 0) + 999,
+        )
+
+        def forward(s, batch):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return fwd(
+                s, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["image_sizes"]), _gt_from_batch(batch["gt"]),
+                sub,
+            )
+
+        try:
+            new_stats = compute_precise_bn_stats(
+                forward, st.stats, loader, num_iter
+            )
+        finally:
+            loader.close()
+        new_state = self.state._replace(
+            stats=jax.tree.map(np.asarray, jax.device_get(new_stats))
+        )
+        if self.mesh is not None:
+            new_state = replicate(self.mesh, jax.device_get(new_state))
+        self.state = new_state

@@ -43,11 +43,58 @@ def _forward_one(apply_fn, variables, img: np.ndarray, cfg):
     )
 
 
+def averaged_tta_masks(cfg, mask_fn, variables, img, merged_boxes,
+                       merged_scores, merged_classes, merged_valid):
+    """d2 GeneralizedRCNNWithTTA mask fusion: run the mask branch on the
+    MERGED boxes under EVERY (scale, flip) augmentation and average the
+    mask PROBABILITIES (ref run_net.py:51-66 — the README's dagger mask
+    rows measure exactly this). Returns ((D, S, S) averaged probs, n_aug).
+    """
+    from ..models.box_head import Detections
+
+    oh, ow = img.shape[:2]
+    prob_sum = None
+    n_aug = 0
+    for min_size in cfg.TEST.AUG.MIN_SIZES:
+        tf = test_transform(oh, ow, min_size, cfg.TEST.AUG.MAX_SIZE)
+        resized = tf.apply_image(img)
+        rh, rw = resized.shape[:2]
+        variants = [(resized, False)]
+        if cfg.TEST.AUG.FLIP:
+            variants.append((np.ascontiguousarray(resized[:, ::-1]), True))
+        for image_v, flipped in variants:
+            canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS, 64)
+            padded = pad_to_canvas(image_v.astype(np.float32), canvas)
+            sb = merged_boxes.copy()
+            sb[:, 0::2] *= rw / ow
+            sb[:, 1::2] *= rh / oh
+            if flipped:
+                x1 = rw - sb[:, 2]
+                x2 = rw - sb[:, 0]
+                sb = np.stack([x1, sb[:, 1], x2, sb[:, 3]], axis=1)
+            dets = Detections(
+                boxes=jnp.asarray(sb),
+                scores=jnp.asarray(merged_scores),
+                classes=jnp.asarray(merged_classes),
+                valid=jnp.asarray(merged_valid),
+            )
+            dets_b = jax.tree.map(lambda a: a[None], dets)
+            _, masks = mask_fn(
+                variables, jnp.asarray(padded[None]),
+                jnp.asarray([[rh, rw]], jnp.int32), dets_b,
+            )
+            m = np.asarray(masks)[0]  # (D, S, S) probabilities
+            if flipped:
+                # a flipped-image mask is the mirror of the original crop
+                m = m[:, :, ::-1]
+            prob_sum = m if prob_sum is None else prob_sum + m
+            n_aug += 1
+    return prob_sum / max(n_aug, 1), n_aug
+
+
 def run_tta_inference(cfg, model, variables, dataset,
                       max_images=None) -> Dict[str, Dict[str, float]]:
     from ..data.coco import read_image
-    from ..data.transforms import test_transform as base_tf
-    from ..models.box_head import Detections
     from .inference import paste_masks
 
     tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
@@ -106,31 +153,11 @@ def run_tta_inference(cfg, model, variables, dataset,
 
         full_masks = None
         if cfg.MODEL.MASK_ON:
-            # mask branch on merged boxes at the base test scale
-            # (d2 GeneralizedRCNNWithTTA: masks from merged boxes)
-            tfb = base_tf(oh, ow, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
-            base_img = tfb.apply_image(img)
-            bh, bw = base_img.shape[:2]
-            canvas = choose_bucket(bh, bw, cfg.TPU.IMAGE_BUCKETS, 64)
-            padded = pad_to_canvas(base_img.astype(np.float32), canvas)
-            # merged boxes are in ORIGINAL coords → rescale to base scale
-            scale_boxes = merged_boxes.copy()
-            scale_boxes[:, 0::2] *= bw / ow
-            scale_boxes[:, 1::2] *= bh / oh
-            dets = Detections(
-                boxes=jnp.asarray(scale_boxes),
-                scores=jnp.asarray(merged_scores),
-                classes=jnp.asarray(merged_classes),
-                valid=jnp.asarray(merged_valid),
+            avg, _ = averaged_tta_masks(
+                cfg, mask_fn, variables, img,
+                merged_boxes, merged_scores, merged_classes, merged_valid,
             )
-            dets_b = jax.tree.map(lambda a: a[None], dets)
-            _, masks = mask_fn(
-                variables, jnp.asarray(padded[None]),
-                jnp.asarray([[bh, bw]], jnp.int32), dets_b,
-            )
-            pasted = paste_masks(
-                np.asarray(masks)[0], merged_boxes, merged_valid, oh, ow
-            )
+            pasted = paste_masks(avg, merged_boxes, merged_valid, oh, ow)
             full_masks = [pasted]
 
         evaluator.process(

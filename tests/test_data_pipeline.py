@@ -102,3 +102,78 @@ def test_train_loader_batches(tiny_coco):
     assert batch["gt"]["boxes"].shape == (2, 8, 4)
     assert batch["gt"]["masks"].shape == (2, 8, 32, 32)
     assert batch["gt"]["valid"].any()
+
+
+def test_crop_transform_geometry():
+    """Crop → resize → flip keeps image and box geometry consistent: a
+    bright rectangle lands where the transformed box says it should."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    img = np.zeros((100, 120, 3), np.float32)
+    img[40:60, 70:90] = 255.0  # box (70, 40, 90, 60) xyxy
+    tf = ResolvedTransform(100, 120, new_h=60, new_w=80, hflip=True,
+                           crop=(20, 30, 80, 90))
+    out = tf.apply_image(img)
+    assert out.shape == (60, 80, 3)
+    tb = tf.apply_boxes(np.array([[70, 40, 90, 60]], np.float32))[0]
+    x1, y1, x2, y2 = [int(round(v)) for v in tb]
+    inside = out[y1 + 1 : y2 - 1, x1 + 1 : x2 - 1].mean()
+    total = out.mean()
+    assert inside > 200.0 and total < inside / 2
+
+
+def test_instance_aware_crop_contains_center():
+    from afigan_tpu.data.transforms import sample_crop
+
+    rng = np.random.RandomState(0)
+    box = [50.0, 30.0, 70.0, 44.0]  # center (60, 37)
+    for _ in range(20):
+        y0, x0, ch, cw = sample_crop(rng, "relative", (0.5, 0.5), 100, 120,
+                                     instance_box=box)
+        assert y0 <= 37 <= y0 + ch and x0 <= 60 <= x0 + cw
+
+
+def test_color_jitter_changes_pixels_not_geometry():
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(40, 50, 3) * 255).astype(np.float32)
+    plain = ResolvedTransform(40, 50, 40, 50, False)
+    jit = ResolvedTransform(40, 50, 40, 50, False,
+                            brightness=0.8, contrast=1.2, saturation=0.9)
+    a, b = plain.apply_image(img), jit.apply_image(img)
+    assert not np.allclose(a, b)
+    np.testing.assert_array_equal(
+        plain.apply_boxes(np.array([[1, 2, 30, 20]], np.float32)),
+        jit.apply_boxes(np.array([[1, 2, 30, 20]], np.float32)),
+    )
+    # masks (single channel) are never color-jittered
+    m = (rng.rand(40, 50) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(
+        jit.apply_image(m, interp="nearest"), plain.apply_image(m, interp="nearest")
+    )
+
+
+def test_mapper_crop_enabled_consistency(tiny_coco):
+    """INPUT.CROP.ENABLED flows through the dual-scale mapper (the config
+    key was a silent no-op in round 1)."""
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.data.dataset_mapper import DatasetMapper
+
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.INPUT.CROP.ENABLED = True
+    cfg.INPUT.CROP.TYPE = "relative_range"
+    cfg.INPUT.CROP.SIZE = [0.7, 0.7]
+    cfg.TPU.MAX_GT_BOXES = 8
+    cfg.TPU.MASK_CANVAS = 32
+    cfg.MODEL.MASK_ON = True
+    mapper = DatasetMapper(cfg, is_train=True, dual_scale=True, seed=3)
+    rec = tiny_coco.records[0]
+    out = mapper(rec)
+    tf = out["transform"]
+    assert tf.crop is not None
+    h2, w2 = out["image_x0.5"].shape[:2]
+    assert (h2, w2) == (out["image"].shape[0] // 2, out["image"].shape[1] // 2)
+    assert out["gt"]["valid"].any()

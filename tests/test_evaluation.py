@@ -149,3 +149,99 @@ def test_polygon_gt_segm_through_evaluator():
     res = ev.evaluate()
     assert abs(res["bbox"]["AP"] - 100.0) < 1e-6
     assert abs(res["segm"]["AP"] - 100.0) < 1e-6
+
+
+def test_ar_maxdet_summaries():
+    """AR@1 < AR@10 when 2 GTs exist and the 2nd-ranked dt covers the 2nd
+    GT; AP family unchanged vs the single-maxdet protocol."""
+    gts = [_ann(1, 1, [0, 0, 10, 10]), _ann(1, 1, [50, 50, 10, 10])]
+    dts = [
+        _ann(1, 1, [0, 0, 10, 10], score=0.9),
+        _ann(1, 1, [50, 50, 10, 10], score=0.8),
+    ]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1]).run()
+    assert abs(res["AP"] - 100.0) < 1e-6
+    assert abs(res["AR@1"] - 50.0) < 1e-6  # only 1 det allowed -> 1/2 GT
+    assert abs(res["AR@10"] - 100.0) < 1e-6
+    assert abs(res["AR@100"] - 100.0) < 1e-6
+    assert abs(res["ARs"] - 100.0) < 1e-6
+
+
+def test_per_category_ap_table():
+    gts = [_ann(1, 1, [0, 0, 10, 10]), _ann(1, 2, [30, 30, 10, 10])]
+    dts = [
+        _ann(1, 1, [0, 0, 10, 10], score=0.9),       # perfect for cat 1
+        _ann(1, 2, [100, 100, 10, 10], score=0.9),   # miss for cat 2
+    ]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1, 2],
+                     class_names=["cat", "dog"]).run()
+    assert abs(res["AP-cat"] - 100.0) < 1e-6
+    assert abs(res["AP-dog"] - 0.0) < 1e-6
+    assert abs(res["AP"] - 50.0) < 1e-6
+
+
+def test_keypoints_oks_eval():
+    """Perfect keypoint predictions give AP 100; a far-off one gives 0."""
+    def kp_ann(img, box, kpts, score=None):
+        a = _ann(img, 1, box, score=score)
+        a["keypoints"] = kpts
+        a["area"] = box[2] * box[3]
+        return a
+
+    # 17 keypoints spread inside the box, all labeled
+    base = []
+    for k in range(17):
+        base += [10.0 + 2 * k, 20.0 + k, 2]
+    gts = [kp_ann(1, [10, 20, 40, 20], base)]
+    dts_good = [kp_ann(1, [10, 20, 40, 20], base, score=0.9)]
+    res = CocoEvalNP(gts, dts_good, img_ids=[1], cat_ids=[1],
+                     iou_type="keypoints").run()
+    assert abs(res["AP"] - 100.0) < 1e-6, res
+
+    far = [v + (300.0 if i % 3 != 2 else 0.0) for i, v in enumerate(base)]
+    dts_bad = [kp_ann(1, [10, 20, 40, 20], far, score=0.9)]
+    res = CocoEvalNP(gts, dts_bad, img_ids=[1], cat_ids=[1],
+                     iou_type="keypoints").run()
+    assert res["AP"] == 0.0 or np.isnan(res["AP"]) is False and res["AP"] < 1.0
+
+
+def test_box_proposal_ar():
+    from afigan_tpu.evaluation.coco_eval import evaluate_box_proposals
+
+    class _DS:
+        img_ids = [1, 2]
+        annotations = [
+            _ann(1, 1, [0, 0, 20, 20]),
+            _ann(1, 1, [50, 50, 30, 30]),
+            _ann(2, 1, [10, 10, 20, 20]),
+        ]
+
+    proposals = {
+        1: {"boxes": np.array([[0, 0, 20, 20], [48, 48, 82, 82]], np.float32),
+            "scores": np.array([0.9, 0.8], np.float32)},
+        2: {"boxes": np.array([[200, 200, 220, 220]], np.float32),
+            "scores": np.array([0.7], np.float32)},
+    }
+    res = evaluate_box_proposals(proposals, _DS())
+    assert res["num_pos"] == 3
+    # gt1 matched at IoU 1.0 (all thresholds), gt2 at IoU ~0.77 (6/10
+    # thresholds), gt3 unmatched -> mean recall = (10 + 6 + 0) / 30
+    assert abs(res["ar"] - (16 / 30)) < 1e-6
+    # limit=1 drops the second proposal on image 1
+    res1 = evaluate_box_proposals(proposals, _DS(), limit=1)
+    assert abs(res1["ar"] - (10 / 30)) < 1e-6
+
+
+def test_allgather_pyobj_roundtrip():
+    """Bytes-based multihost gather: single-process round trip preserves
+    prediction dicts with RLE string counts (the leaves that break
+    process_allgather on raw pytrees)."""
+    from afigan_tpu.evaluation.coco_eval import allgather_pyobj
+
+    preds = [
+        {"image_id": 1, "bbox": [1.0, 2.0, 3.0, 4.0], "score": 0.5,
+         "segmentation": {"size": [10, 12], "counts": "b2d1..."}},
+        {"image_id": 2, "bbox": [0.0, 0.0, 1.0, 1.0], "score": 0.25},
+    ]
+    out = allgather_pyobj(preds)
+    assert out == preds

@@ -181,3 +181,34 @@ def test_stage3_multidevice_runs():
     )
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_stage1_adversarial_gradient_reaches_generator():
+    """Quirk-Q3 regression guard (VERDICT round-1 weak #6): the G step's
+    adversarial term must carry REAL gradient to G. If a detach were
+    reintroduced (ref stage1_trainer.py:399-408 feeds D(tr).detach() into
+    the BCE), changing ADV_LOSS_WEIGHT could not change the G update —
+    so two steps identical except for adv_w must produce different G
+    params through the ACTUAL compiled step."""
+    batch = _stage1_batch(seed=7)
+
+    results = []
+    for adv_w in (0.0, 100.0):
+        cfg = _stage1_cfg()
+        cfg.MODEL.AFI.ADV_LOSS_WEIGHT = adv_w
+        state, guide_vars = init_stage1_state(
+            cfg, jax.random.PRNGKey(0), sample_hw=(16, 16)
+        )
+        step = make_stage1_train_step(cfg)
+        new_state, metrics = step(state, guide_vars, batch)
+        results.append(jax.device_get(new_state.g_params))
+        assert np.isfinite(float(metrics["g_loss"]))
+
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1]))
+    ]
+    assert max(diffs) > 1e-8, (
+        "adversarial weight had no effect on the G update — the adv term "
+        "is detached from the generator (quirk Q3 reintroduced)"
+    )

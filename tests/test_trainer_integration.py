@@ -112,3 +112,28 @@ def test_inference_eval_pipeline(tiny_dataset, tmp_path):
     results = run_inference(cfg, model, variables, tiny_dataset)
     assert "bbox" in results and "segm" in results
     assert np.isfinite(results["bbox"]["AP"]) or results["bbox"]["AP"] != results["bbox"]["AP"]
+
+
+def test_precise_bn_hook_updates_stats(tiny_dataset, tmp_path):
+    """TEST.PRECISE_BN wiring (round-1 gap: the algorithm existed but no
+    trainer used it): a BN-normed detector's running stats are replaced
+    by true batch averages."""
+    import jax
+
+    from afigan_tpu.engine.trainers import TargetDetectorTrainer
+
+    cfg = _tiny_cfg(tmp_path / "pbn")
+    cfg.MODEL.FPN.NORM = "BN"  # gives the detector batch_stats
+    cfg.TEST.PRECISE_BN.ENABLED = True
+    cfg.TEST.PRECISE_BN.NUM_ITER = 2
+    cfg.TEST.EVAL_PERIOD = 2
+
+    t = TargetDetectorTrainer(cfg)
+    assert t._bn_stats(), "expected BN stats in the detector state"
+    assert t._precise_bn_hook() is not None
+    before = jax.tree.leaves(jax.device_get(t.state.stats))
+    t.run_precise_bn(2)
+    after = jax.tree.leaves(jax.device_get(t.state.stats))
+    diffs = [float(np.abs(a - b).max()) for a, b in zip(after, before)]
+    assert max(diffs) > 1e-6, "precise BN left all stats unchanged"
+    assert all(np.isfinite(a).all() for a in after)

@@ -85,6 +85,14 @@ def test_stage1_then_stage2_pipeline(tiny_dataset, tmp_path):
     cfg2.MODEL.BACKBONE.NAME = "build_resnet_fpn_sr_backbone"
     cfg2.MODEL.MASK_ON = True
     cfg2.MODEL.AFI_GEN_WEIGHTS = g_ckpt
+    # in-training EvalHook (ref stage2_trainer.py:208-214): fires at iter 2;
+    # half-res eval => test sizes are halved by AFExtractorTrainer.evaluate
+    cfg2.TEST.EVAL_PERIOD = 2
+    cfg2.INPUT.MIN_SIZE_TEST = 64
+    cfg2.INPUT.MAX_SIZE_TEST = 96
+    cfg2.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg2.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg2.MODEL.RPN.POST_NMS_TOPK_TEST = 32
     t2 = AFExtractorTrainer(cfg2)
 
     # the stage-1 G must have been transplanted into backbone srf_module
@@ -105,6 +113,9 @@ def test_stage1_then_stage2_pipeline(tiny_dataset, tmp_path):
     assert os.path.isfile(det_ckpt)
     lines = [json.loads(l) for l in open(os.path.join(cfg2.OUTPUT_DIR, "metrics.json"))]
     assert np.isfinite(lines[-1]["total_loss"])
+    # the mid-training EvalHook must have produced COCO AP scalars
+    eval_keys = {k for l in lines for k in l}
+    assert "bbox/AP" in eval_keys, sorted(eval_keys)
 
     # ---------- stage-3 transplant consumes the stage-2 detector ----------
     from afigan_tpu.engine.trainers import TargetDetectorTrainer

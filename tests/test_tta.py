@@ -51,4 +51,35 @@ def test_tta_inference(tmp_path):
     assert "bbox" in results and "segm" in results
     # APs are numbers (possibly 0/nan for a random model) — the pipeline ran
     for task in results.values():
-        assert set(task) == {"AP", "AP50", "AP75", "APs", "APm", "APl"}
+        assert {"AP", "AP50", "AP75", "APs", "APm", "APl",
+                "AR@1", "AR@10", "AR@100"} <= set(task)
+
+    # ---- d2-faithful mask fusion: the averaged TTA mask must combine
+    # MULTIPLE augmented forwards (differ from any single-aug run) ----
+    from afigan_tpu.engine.tta import averaged_tta_masks
+    from afigan_tpu.data.coco import read_image
+
+    mask_fn = jax.jit(
+        lambda v, images, sizes, dets: model.apply(v, images, sizes, given_dets=dets)
+    )
+    img = read_image(ds.records[0]["file_name"], cfg.INPUT.FORMAT)
+    boxes = np.array([[8.0, 8.0, 50.0, 40.0], [20.0, 10.0, 80.0, 60.0]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    classes = np.array([0, 1], np.int32)
+    valid = np.array([True, True])
+
+    avg_multi, n_multi = averaged_tta_masks(
+        cfg, mask_fn, variables, img, boxes, scores, classes, valid)
+    assert n_multi == 4  # 2 scales x (id + flip)
+
+    cfg_single = cfg.clone()
+    cfg_single.defrost()
+    cfg_single.TEST.AUG.MIN_SIZES = (64,)
+    cfg_single.TEST.AUG.FLIP = False
+    cfg_single.freeze()
+    avg_single, n_single = averaged_tta_masks(
+        cfg_single, mask_fn, variables, img, boxes, scores, classes, valid)
+    assert n_single == 1
+    # the fused probabilities genuinely mix augmentations
+    assert not np.allclose(avg_multi, avg_single, atol=1e-4)
+    assert float(np.abs(avg_multi - avg_single).max()) > 1e-3
