@@ -24,7 +24,8 @@ from typing import Callable, Dict, Iterator, List, Sequence
 
 import numpy as np
 
-from ..ops.image_list import choose_bucket, pad_to_canvas
+from ..ops.image_list import (choose_bucket, pad_to_canvas,
+                              required_size_divisibility)
 
 
 class TrainingSampler:
@@ -211,6 +212,7 @@ def build_train_loader(cfg, dataset, dual_scale: bool = False,
     return PrefetchingLoader(
         dataset.records, sampler, mapper, per_host_batch,
         cfg.TPU.IMAGE_BUCKETS, dual_scale, cfg.DATALOADER.NUM_WORKERS,
+        size_divisibility=required_size_divisibility(cfg),
     )
 
 
@@ -219,17 +221,18 @@ def build_test_loader(cfg, dataset, batch_size: int = 1):
     from .dataset_mapper import DatasetMapper
 
     mapper = DatasetMapper(cfg, is_train=False)
+    div = required_size_divisibility(cfg)
 
     def gen():
         buf = []
         for rec in dataset.records:
             buf.append(mapper(rec))
             if len(buf) == batch_size:
-                yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS)
+                yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)
                 buf = []
         if buf:
             while len(buf) < batch_size:  # pad final batch by repetition
                 buf.append(buf[-1])
-            yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS)
+            yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)
 
     return gen()

@@ -21,14 +21,16 @@ import jax.numpy as jnp
 
 from ..data.transforms import test_transform
 from ..evaluation.coco_eval import CocoEvaluator
-from ..ops.image_list import choose_bucket, pad_to_canvas
+from ..ops.image_list import (choose_bucket, pad_to_canvas,
+                              required_size_divisibility)
 from ..ops import batched_nms_padded
 from .inference import rescale_boxes
 
 
 def _forward_one(apply_fn, variables, img: np.ndarray, cfg):
     h, w = img.shape[:2]
-    canvas = choose_bucket(h, w, cfg.TPU.IMAGE_BUCKETS, 64)
+    canvas = choose_bucket(h, w, cfg.TPU.IMAGE_BUCKETS,
+                           required_size_divisibility(cfg))
     padded = pad_to_canvas(img.astype(np.float32), canvas)
     dets, masks = apply_fn(
         variables,
@@ -63,7 +65,8 @@ def averaged_tta_masks(cfg, mask_fn, variables, img, merged_boxes,
         if cfg.TEST.AUG.FLIP:
             variants.append((np.ascontiguousarray(resized[:, ::-1]), True))
         for image_v, flipped in variants:
-            canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS, 64)
+            canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS,
+                                   required_size_divisibility(cfg))
             padded = pad_to_canvas(image_v.astype(np.float32), canvas)
             sb = merged_boxes.copy()
             sb[:, 0::2] *= rw / ow

@@ -99,6 +99,17 @@ class BiFPN(nn.Module):
                             name=f"{name}_bn", bn_eps=1e-3, bn_momentum=0.99)
 
         c3, c4, c5 = (bottom_up_features[f] for f in self.in_features)
+        # size_divisibility contract (ref bifpn_sr.py:526): the p3..p7
+        # exact-2x up/down paths require every level to halve evenly, i.e.
+        # a 128-divisible input canvas => c5 (stride 32) divisible by 4.
+        # choose_bucket(required_size_divisibility(cfg)) guarantees this
+        # in the data path; catch misuse at trace time.
+        if c5.shape[1] % 4 or c5.shape[2] % 4:
+            raise ValueError(
+                f"BiFPN needs a 128-divisible input canvas (c5 {c5.shape[1:3]} "
+                "must be divisible by 4); pad images with "
+                "choose_bucket(..., required_size_divisibility(cfg))"
+            )
 
         # ---- BeforeBiFPN ----
         def lateral(x, name):

@@ -36,15 +36,30 @@ class ImageBatch(NamedTuple):
         return self.tensor.shape[1], self.tensor.shape[2]
 
 
+def required_size_divisibility(cfg) -> int:
+    """Canvas divisibility the model family needs (the d2
+    ``backbone.size_divisibility`` contract, ref bifpn_sr.py:526,566-567):
+    BiFPN carries a stride-128 p7 whose exact-2x up/down paths require
+    every pyramid level to halve evenly — 128-divisible inputs; the
+    FPN/PAFPN families (p6 top) need 64 (also keeps the x0.5 dual-scale
+    stream stride-contiguous, ref fpn_sr.py:177-184)."""
+    name = cfg.MODEL.BACKBONE.NAME.lower()
+    return 128 if "bifpn" in name else 64
+
+
 def choose_bucket(h: int, w: int, buckets: Sequence[Sequence[int]],
                   size_divisibility: int = 32) -> Tuple[int, int]:
-    """Smallest-area bucket that fits (h, w); falls back to rounding up."""
+    """Smallest-area bucket that fits (h, w); falls back to rounding up.
+    The chosen canvas is always rounded UP to ``size_divisibility`` (a
+    64-divisible bucket list stays unchanged at d=64; at d=128 — the
+    BiFPN families — e.g. 704 becomes 768)."""
+    d = size_divisibility
     fitting = [
         (bh, bw) for bh, bw in buckets if bh >= h and bw >= w
     ]
     if fitting:
-        return min(fitting, key=lambda s: s[0] * s[1])
-    d = size_divisibility
+        bh, bw = min(fitting, key=lambda s: s[0] * s[1])
+        return (int(np.ceil(bh / d) * d), int(np.ceil(bw / d) * d))
     return (int(np.ceil(h / d) * d), int(np.ceil(w / d) * d))
 
 

@@ -211,6 +211,15 @@ def fused_rdb(
     )
 
     vmem = pltpu.VMEM
+    # The unrolled 45-matmul chain keeps several shifted (out^2, Cin)
+    # patch values live at once; the default 16 MiB scoped-vmem stack is
+    # too small at C=256 while the chip has 128 MiB VMEM — raise the
+    # kernel's limit instead of shrinking tiles (smaller tiles raise the
+    # halo read amplification).
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, n_th, n_tw),
@@ -231,6 +240,7 @@ def fused_rdb(
             vmem((tile_h + 2, tile_w + 2, g), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x_in, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
       w5x, w5c1, w5c2, w5c3, w5c4)

@@ -33,7 +33,7 @@ def _cfg():
     cfg.INPUT.MAX_SIZE_TEST = 128
     cfg.TPU.MAX_GT_BOXES = 8
     cfg.TPU.MASK_CANVAS = 32
-    cfg.TPU.IMAGE_BUCKETS = [[64, 96], [96, 128], [128, 128]]
+    cfg.TPU.IMAGE_BUCKETS = [[64, 128], [128, 128]]  # 64-divisible (canvas contract)
     cfg.MODEL.MASK_ON = True
     cfg.SOLVER.IMS_PER_BATCH = 2
     cfg.DATALOADER.NUM_WORKERS = 2

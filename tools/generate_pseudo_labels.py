@@ -43,7 +43,8 @@ def main():
     from afigan_tpu.engine.inference import rescale_boxes
     from afigan_tpu.engine.weights import load_weights
     from afigan_tpu.models import build_model
-    from afigan_tpu.ops.image_list import choose_bucket, pad_to_canvas
+    from afigan_tpu.ops.image_list import (choose_bucket, pad_to_canvas,
+                                           required_size_divisibility)
 
     cfg = get_cfg()
     cfg.merge_from_file(args.config_file)
@@ -81,7 +82,8 @@ def main():
         tf = test_transform(oh, ow, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
         resized = tf.apply_image(img)
         rh, rw = resized.shape[:2]
-        canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS, 64)
+        canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS,
+                               required_size_divisibility(cfg))
         padded = pad_to_canvas(resized.astype(np.float32), canvas)
 
         dets, _ = apply_fn(
