@@ -10,10 +10,11 @@ SAG-Mask head: 4 convs → spatial attention module (channel avg+max pool
 → 3x3 conv → sigmoid gate) → 2x2 deconv → per-class 1x1 predictor.
 
 Training note (documented deviation): CenterMask2 trains the mask branch
-on FCOS's positive proposals; here the mask branch trains on GT boxes
-(the Mask R-CNN-style target path this framework already provides) —
-equivalent supervision up to box jitter, and TPU-friendly (fixed GT
-capacity instead of dynamic proposal counts).
+on FCOS's positive proposals; here it trains on randomly JITTERED GT
+boxes (center +-10% wh, scale +-10%, targets re-cropped to the jittered
+windows) — a proposal-like box distribution with fixed GT capacity
+instead of dynamic FCOS-positive counts (TPU static shapes). Jitter
+engages when a "sampling" rng stream is provided, as the trainers do.
 """
 
 from __future__ import annotations
@@ -134,6 +135,27 @@ class CenterMask(nn.Module):
             fg_valid = jnp.take_along_axis(gt.valid, fg_idx, axis=1)
             fg_boxes = jnp.take_along_axis(gt.boxes, fg_idx[..., None], axis=1)
             fg_classes = jnp.take_along_axis(gt.classes, fg_idx, axis=1)
+
+            # Jitter the GT boxes (center +-10% wh, scale +-10%) so the mask
+            # branch trains on a proposal-like distribution — approximating
+            # CenterMask2's FCOS-positive boxes rather than exact GT crops.
+            # Mask targets below are re-cropped to the jittered windows, so
+            # supervision stays consistent (Mask R-CNN semantics).
+            if self.has_rng("sampling"):
+                key = self.make_rng("sampling")
+                noise = jax.random.uniform(
+                    key, fg_boxes.shape, minval=-0.1, maxval=0.1
+                )
+                wh = fg_boxes[..., 2:4] - fg_boxes[..., 0:2]
+                ctr = (fg_boxes[..., 0:2] + fg_boxes[..., 2:4]) / 2
+                ctr = ctr + noise[..., 0:2] * wh
+                half = jnp.maximum(wh / 2 * (1.0 + noise[..., 2:4]), 1.0)
+                jit_boxes = jnp.concatenate([ctr - half, ctr + half], axis=-1)
+                hw = image_sizes.astype(jit_boxes.dtype)  # (B, 2) = (h, w)
+                lim = jnp.stack(
+                    [hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], axis=-1
+                )[:, None, :]
+                fg_boxes = jnp.clip(jit_boxes, 0.0, lim)
 
             pooled = self._pool(features, fg_boxes)
             flat = pooled.reshape(b * k, *pooled.shape[2:])

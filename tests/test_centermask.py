@@ -63,3 +63,38 @@ def test_centermask_train_and_inference():
     assert dets.boxes.shape == (1, 8, 4)
     assert masks.shape == (1, 8, 28, 28)
     assert float(masks.min()) >= 0 and float(masks.max()) <= 1
+
+
+def test_centermask_mask_branch_jitters_gt_boxes():
+    """With a 'sampling' rng the mask branch trains on jittered GT boxes:
+    different rng keys must give different loss_mask (and the no-rng path
+    still works, falling back to exact GT crops)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    model = build_model(cfg, train=True)
+    rng = np.random.RandomState(3)
+    h = w = 64
+    images = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[h, w]], jnp.int32)
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[8.0, 8.0, 40.0, 36.0], [20.0, 24.0, 60.0, 60.0]]]),
+        classes=jnp.asarray([[0, 1]], jnp.int32),
+        valid=jnp.asarray([[True, True]]),
+        masks=jnp.asarray(rng.rand(1, 2, 28, 28).astype(np.float32) > 0.5,
+                          jnp.float32),
+    )
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes, gt)
+    )()
+    f = jax.jit(
+        lambda v, k: model.apply(v, images, sizes, gt, rngs={"sampling": k})
+    )
+    l1 = f(variables, jax.random.PRNGKey(1))["loss_mask"]
+    l2 = f(variables, jax.random.PRNGKey(2))["loss_mask"]
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert abs(float(l1) - float(l2)) > 1e-7, "jitter had no effect"
+    # no-rng path (exact GT boxes) still runs
+    l0 = jax.jit(lambda v: model.apply(v, images, sizes, gt))(variables)
+    assert np.isfinite(float(l0["loss_mask"]))

@@ -38,3 +38,21 @@ def test_fused_rdb_tile_edges_zero_padded():
     want = model.apply({"params": params}, x)
     got = fused_rdb(x, _weights_from_params(params), 0.2, tile=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()),
+    reason="compiled Mosaic parity needs a real TPU (tests pin CPU)",
+)
+def test_fused_rdb_compiled_matches_flax_tpu():
+    """Compiled (Mosaic, not interpret) parity on the real chip at the
+    production shape (C=256, G=32). Run manually with:
+    env -u JAX_PLATFORMS python -m pytest tests/test_pallas_rdb.py -k compiled
+    (the suite's conftest pins CPU, where this auto-skips)."""
+    c, g = 256, 32
+    model = ResidualDenseBlock(growth_rate=g, residual_scale=0.2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 50, 84, c).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    want = model.apply({"params": params}, x)
+    got = fused_rdb(x, _weights_from_params(params), 0.2, tile=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
