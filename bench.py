@@ -41,9 +41,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 BASELINE_IMGS_PER_SEC_PER_CHIP = 7.64
 # XLA cost-analysis FLOPs/img of the compiled train steps at 800x1344
 # batch 8 on v5e (BENCH_DEBUG=1 re-derives and prints these).
-STAGE1_FLOPS_PER_IMG = 2.3037e13  # measured 2026-08-16
-STAGE2_FLOPS_PER_IMG = None  # filled after first measurement
-STAGE3_FLOPS_PER_IMG = None  # filled after first measurement
+STAGE1_FLOPS_PER_IMG = 2.3037e13  # 1.8429e14 / batch 8
+STAGE2_FLOPS_PER_IMG = 6.615e12   # 5.2920e13 / batch 8
+STAGE3_FLOPS_PER_IMG = 2.790e12   # 2.2323e13 / batch 8
 
 
 def _flop_matched_vs_baseline(imgs_per_sec, stage_flops_per_img):
