@@ -10,14 +10,33 @@ input (cat(x, c1, ..., ci) — up to 384 channels) in HBM. This kernel
 keeps the WHOLE chain in VMEM per spatial tile:
 
   * grid over (batch, h_tiles, w_tiles); each program DMAs its input tile
-    with a 5-pixel halo (one pixel per chained 3x3 conv) from HBM,
-    zero-padding at image borders — border zeros reproduce the convs'
-    `padding=1` semantics exactly.
+    with an 8-pixel apron from HBM (zero pre-padding at image borders
+    reproduces the convs' `padding=1` semantics exactly).
   * each 3x3 conv is computed as 9 shifted (M, Cin) x (Cin, Cout) MXU
     matmuls accumulating in fp32; concatenation is NEVER materialized —
     conv_i over cat(x, c1..c_{i-1}) is a sum of per-input matmul groups.
-  * intermediates c1..c4 live in VMEM with shrinking halos (4,3,2,1);
-    the final residual add (x + 0.2 * c5) is fused into the store.
+  * intermediates c1..c4 stay as SSA values in VMEM with shrinking
+    row halos (4,3,2,1); the final residual add (x + 0.2 * c5) is fused
+    into the store.
+
+v2 layout design (what makes Mosaic compile fast AND avoids relayouts —
+the v1 kernel sliced (oh, ow, Cin) windows with ow < buffer width, so
+every one of its 135 patch reshapes forced a strided-copy relayout and
+Mosaic took ~17 min per shape):
+
+  * ALL tensors keep FULL buffer width Wb = tile_w + 16 (a multiple of 8
+    when tile_w is), so `(rows, Wb, C) -> (rows*Wb, C)` flattens are
+    free relabelings (rows are contiguous).
+  * a 3x3 conv tap (dy, dx) over the flattened source is then a ROW
+    slice at offset (r0 - ho + dy - 1)*Wb + (dx - 1). The row part is a
+    multiple of Wb (8-aligned); the ±1 column shift is hoisted into TWO
+    whole-array sublane `pltpu.roll`s per source, after which all 9 tap
+    slices are 8-aligned and copy-free.
+  * convs are computed at full width; the columns that wrap across row
+    boundaries produce garbage only in the apron columns, which the
+    shrinking-halo bookkeeping guarantees are never read by any valid
+    output position, and the final store takes the aligned center
+    `[:, 8:8+tile_w]` slice.
 
 Numerics match models/afi/generator.py ResidualDenseBlock (LeakyReLU 0.2
 after convs 1-4, no bias, residual scale 0.2; ref generator_rdb.py:33-71).
@@ -30,53 +49,27 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 5  # one pixel per chained 3x3 conv
-PAD = 8  # DMA alignment: Mosaic requires 8-aligned sublane slice sizes,
-# so the input is padded with 8 (not 5) and the kernel trims the extra 3.
-
-
-def _conv3x3_from_ref(ref, base, w_ref, out_h, out_w, acc=None):
-    """3x3 conv reading patches DIRECTLY from a scratch ref → fp32 acc.
-
-    Implemented as 9 shifted matmuls on the MXU. Slicing the ref per
-    (dy, dx) keeps each patch load transient (live only for its matmul):
-    materializing the whole window as a value first kept ~20 MB live and
-    blew the 16 MB VMEM stack limit (the round-1 'Mosaic SIGKILL').
-
-    ``base``: static offset of the output's logical origin within the
-    ref = source_halo - out_halo - 1.
-    """
-    cin = ref.shape[-1]
-    cout = w_ref.shape[-1]
-    if acc is None:
-        acc = jnp.zeros((out_h * out_w, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = ref[base + dy : base + dy + out_h,
-                        base + dx : base + dx + out_w, :].reshape(-1, cin)
-            acc = acc + jnp.dot(
-                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
-            )
-    return acc
+PAD = 8  # apron: 8 (not 5) so DMA slice sizes and center slices are 8-aligned
 
 
 def _leaky(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
-def _inside_image_mask(ti, tj, tile_h, tile_w, halo, out_h, out_w, h, w):
-    """(out_h, out_w, 1) mask: 1 where the position lies inside the true
-    image extent. The reference zero-pads EVERY dense conv's input
+def _inside_image_mask(ti, tj, tile_h, tile_w, row_halo, out_rows, wb, h, w):
+    """(out_rows, wb, 1) f32 mask: 1 where the position lies inside the
+    true image extent. The reference zero-pads EVERY dense conv's input
     (padding=1 per conv) — so intermediates must read as zero outside the
-    image, not as conv-of-border values."""
-    row0 = ti * tile_h - halo
-    col0 = tj * tile_w - halo
-    rows = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) + col0
+    image, not as conv-of-border values. Full-width: columns span the
+    whole apron [-PAD, tile_w + PAD)."""
+    row0 = ti * tile_h - row_halo
+    col0 = tj * tile_w - PAD
+    rows = jax.lax.broadcasted_iota(jnp.int32, (out_rows, wb), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_rows, wb), 1) + col0
     ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
     # NOTE: minor-dim insertion on i1 vectors is unsupported by Mosaic —
     # cast to f32 BEFORE adding the channel dim.
@@ -85,14 +78,15 @@ def _inside_image_mask(ti, tj, tile_h, tile_w, halo, out_h, out_w, h, w):
 
 def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
                 w5x, w5c1, w5c2, w5c3, w5c4,
-                out_ref, xs, c1s, c2s, c3s, c4s, dma_sem,
+                out_ref, xs, dma_sem,
                 *, tile_h, tile_w, channels, growth, h, w, residual_scale):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    wb = tile_w + 2 * PAD
 
-    # ---- DMA the input tile + 8-px apron (8-aligned sizes for Mosaic;
-    # input is pre-padded with PAD zeros on every side) ----
+    # ---- DMA the input tile + 8-px apron (input is pre-padded with PAD
+    # zeros on every side; interior tiles read true neighbor values) ----
     cp = pltpu.make_async_copy(
         x_hbm.at[
             bi,
@@ -106,54 +100,66 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
     cp.start()
     cp.wait()
 
-    f32 = jnp.float32
-    # Patches are sliced straight off the scratch refs (never a whole
-    # window value). Offsets: base = source_halo - out_halo - 1, where
-    # xs carries halo PAD=8 and c_i carries halo 5-i.
+    def roll(flat, shift):
+        # Mosaic's sublane rotate is 32-bit only — round-trip narrow
+        # dtypes through f32 (exact for bf16: widening casts are lossless
+        # and the narrowing cast recovers the original values).
+        if jnp.dtype(flat.dtype).itemsize < 4:
+            return pltpu.roll(
+                flat.astype(jnp.float32), shift, axis=0
+            ).astype(flat.dtype)
+        return pltpu.roll(flat, shift, axis=0)
 
-    # conv1: x(halo5) -> c1(halo4)
-    h1, w1_ = tile_h + 8, tile_w + 8
-    c1 = _leaky(_conv3x3_from_ref(xs, PAD - 5, w1, h1, w1_)).reshape(h1, w1_, growth)
-    c1 = c1 * _inside_image_mask(ti, tj, tile_h, tile_w, 4, h1, w1_, h, w)
-    c1s[...] = c1.astype(xs.dtype)
+    def triple(val, cin):
+        """Flatten (rows, wb, cin) -> (rows*wb, cin) (free: full-width
+        rows are contiguous) and precompute the ±1-column rolls so every
+        conv tap below is an 8-aligned row slice."""
+        flat = val.reshape(-1, cin)
+        n = flat.shape[0]
+        # pltpu.roll requires a non-negative shift; n-1 ≡ -1 (mod n).
+        return (roll(flat, 1), flat, roll(flat, n - 1))
 
-    # conv2: [x, c1](halo4) -> c2(halo3)
-    h2, w2_ = tile_h + 6, tile_w + 6
-    acc = _conv3x3_from_ref(xs, PAD - 4, w2x, h2, w2_)
-    acc = _conv3x3_from_ref(c1s, 0, w2c1, h2, w2_, acc)
-    c2 = _leaky(acc).reshape(h2, w2_, growth)
-    c2 = c2 * _inside_image_mask(ti, tj, tile_h, tile_w, 3, h2, w2_, h, w)
-    c2s[...] = c2.astype(xs.dtype)
+    xv = xs[...]
+    xt = triple(xv, channels)
 
-    # conv3: [x, c1, c2](halo3) -> c3(halo2)
-    # (per-input matmul accumulation — conv_i over cat(x, c1..c_{i-1})
-    # equals the sum of per-input matmul groups; no concat materialized)
-    h3, w3_ = tile_h + 4, tile_w + 4
-    acc = _conv3x3_from_ref(xs, PAD - 3, w3x, h3, w3_)
-    acc = _conv3x3_from_ref(c1s, 1, w3c1, h3, w3_, acc)
-    acc = _conv3x3_from_ref(c2s, 0, w3c2, h3, w3_, acc)
-    c3 = _leaky(acc).reshape(h3, w3_, growth)
-    c3 = c3 * _inside_image_mask(ti, tj, tile_h, tile_w, 2, h3, w3_, h, w)
-    c3s[...] = c3.astype(xs.dtype)
+    def conv(sources, w_refs, ho, cout):
+        """One dense conv: output logical rows [-ho, tile_h+ho), full
+        width. ``sources``: [(triple, r0)] where r0 is the source row of
+        the tile's logical row 0 (= the source's own row halo). Returns
+        an (out_rows*wb, cout) fp32 accumulator."""
+        out_rows = tile_h + 2 * ho
+        m = out_rows * wb
+        acc = jnp.zeros((m, cout), jnp.float32)
+        for (tr, r0), wr in zip(sources, w_refs):
+            for dy in range(3):
+                a = (r0 - ho + dy - 1) * wb
+                for dx in range(3):
+                    acc = acc + jnp.dot(
+                        tr[dx][a : a + m], wr[dy, dx],
+                        preferred_element_type=jnp.float32,
+                    )
+        return acc
 
-    # conv4: [x, c1, c2, c3](halo2) -> c4(halo1)
-    h4, w4_ = tile_h + 2, tile_w + 2
-    acc = _conv3x3_from_ref(xs, PAD - 2, w4x, h4, w4_)
-    acc = _conv3x3_from_ref(c1s, 2, w4c1, h4, w4_, acc)
-    acc = _conv3x3_from_ref(c2s, 1, w4c2, h4, w4_, acc)
-    acc = _conv3x3_from_ref(c3s, 0, w4c3, h4, w4_, acc)
-    c4 = _leaky(acc).reshape(h4, w4_, growth)
-    c4 = c4 * _inside_image_mask(ti, tj, tile_h, tile_w, 1, h4, w4_, h, w)
-    c4s[...] = c4.astype(xs.dtype)
+    def finish(acc, ho):
+        """LeakyReLU + zero outside the image extent, back to a rolled
+        triple for downstream convs."""
+        out_rows = tile_h + 2 * ho
+        msk = _inside_image_mask(ti, tj, tile_h, tile_w, ho, out_rows, wb, h, w)
+        c = _leaky(acc).reshape(out_rows, wb, growth) * msk
+        return triple(c.astype(xs.dtype), growth)
 
-    # conv5: [x, c1..c4](halo1) -> c5(tile); out = x + 0.2*c5
-    acc = _conv3x3_from_ref(xs, PAD - 1, w5x, tile_h, tile_w)
-    acc = _conv3x3_from_ref(c1s, 3, w5c1, tile_h, tile_w, acc)
-    acc = _conv3x3_from_ref(c2s, 2, w5c2, tile_h, tile_w, acc)
-    acc = _conv3x3_from_ref(c3s, 1, w5c3, tile_h, tile_w, acc)
-    acc = _conv3x3_from_ref(c4s, 0, w5c4, tile_h, tile_w, acc)
-    center = xs[PAD : PAD + tile_h, PAD : PAD + tile_w, :].astype(f32)
-    out = center + residual_scale * acc.reshape(tile_h, tile_w, channels)
+    c1 = finish(conv([(xt, PAD)], [w1], 4, growth), 4)
+    c2 = finish(conv([(xt, PAD), (c1, 4)], [w2x, w2c1], 3, growth), 3)
+    c3 = finish(conv([(xt, PAD), (c1, 4), (c2, 3)], [w3x, w3c1, w3c2], 2, growth), 2)
+    c4 = finish(
+        conv([(xt, PAD), (c1, 4), (c2, 3), (c3, 2)],
+             [w4x, w4c1, w4c2, w4c3], 1, growth), 1)
+    acc = conv([(xt, PAD), (c1, 4), (c2, 3), (c3, 2), (c4, 1)],
+               [w5x, w5c1, w5c2, w5c3, w5c4], 0, channels)
+
+    center = xv[PAD : PAD + tile_h, PAD : PAD + tile_w, :].astype(jnp.float32)
+    c5 = acc.reshape(tile_h, wb, channels)[:, PAD : PAD + tile_w, :]
+    out = center + residual_scale * c5
     out_ref[...] = out[None].astype(out_ref.dtype)
 
 
@@ -161,7 +167,7 @@ def fused_rdb(
     x: jnp.ndarray,
     weights: Sequence[jnp.ndarray],
     residual_scale: float = 0.2,
-    tile: int = 64,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One ResidualDenseBlock, fused.
@@ -171,17 +177,25 @@ def fused_rdb(
         weights: [w1..w5] HWIO kernels — w1: (3,3,C,G); w_i: (3,3,C+(i-1)G,G);
             w5: (3,3,C+4G,C). (The flax module's conv kernels, ref
             generator_rdb.py dense chain.)
+        tile: spatial tile edge; default 64 for <=2-byte dtypes, 48 for
+            fp32 (the rolled source triples + fp32 accumulator of a
+            64x64 fp32 tile at C=256 overflow the VMEM value stack).
     """
     b, h, w, c = x.shape
+    if tile is None:
+        tile = 64 if jnp.dtype(x.dtype).itemsize <= 2 else 48
     g = weights[0].shape[-1]
     tile_h = min(tile, h)
-    tile_w = min(tile, w)
+    # tile_w + 2*PAD is the DMA slice's sublane extent — Mosaic requires
+    # it 8-aligned, so round tile_w up to a multiple of 8 (tile-alignment
+    # padding below covers the overhang). tile_h has no such constraint.
+    tile_w = min(tile, -(-w // 8) * 8)
     n_th = -(-h // tile_h)
     n_tw = -(-w // tile_w)
     pad_h = n_th * tile_h - h
     pad_w = n_tw * tile_w - w
-    # pad: PAD zeros on all sides (zero halo reproduces the convs' border
-    # padding; 8 instead of 5 for DMA alignment) + tile-alignment padding.
+    # pad: PAD zeros on all sides (zero apron reproduces the convs'
+    # border padding; 8 instead of 5 for alignment) + tile-alignment pad.
     x_in = jnp.pad(
         x, ((0, 0), (PAD, PAD + pad_h), (PAD, PAD + pad_w), (0, 0))
     )
@@ -211,11 +225,10 @@ def fused_rdb(
     )
 
     vmem = pltpu.VMEM
-    # The unrolled 45-matmul chain keeps several shifted (out^2, Cin)
-    # patch values live at once; the default 16 MiB scoped-vmem stack is
-    # too small at C=256 while the chip has 128 MiB VMEM — raise the
-    # kernel's limit instead of shrinking tiles (smaller tiles raise the
-    # halo read amplification).
+    # The chain keeps the rolled source triples + fp32 accumulator live
+    # in VMEM; the default 16 MiB scoped-vmem stack is too small at C=256
+    # while the chip has 128 MiB VMEM — raise the kernel's limit instead
+    # of shrinking tiles (smaller tiles raise halo read amplification).
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
@@ -234,10 +247,6 @@ def fused_rdb(
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), dtype),
         scratch_shapes=[
             vmem((tile_h + 2 * PAD, tile_w + 2 * PAD, c), dtype),
-            vmem((tile_h + 8, tile_w + 8, g), dtype),
-            vmem((tile_h + 6, tile_w + 6, g), dtype),
-            vmem((tile_h + 4, tile_w + 4, g), dtype),
-            vmem((tile_h + 2, tile_w + 2, g), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=compiler_params,

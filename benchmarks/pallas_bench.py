@@ -6,7 +6,8 @@ compiled kernel against the identical-math XLA path at the production
 shape (C=256, G=32) across the pyramid levels the generator actually
 sees at 800x1344 inference (p5->p4, p4->p3, p3->p2 inputs).
 
-Run (real TPU; first Mosaic compile ~15 min/shape, then cached):
+Run (real TPU; Mosaic compile ~25-35s/shape with the v2 aligned-slice
+kernel, then cached):
     python benchmarks/pallas_bench.py
 
 Timing note: on the axon backend only CHAINED calls synced by
@@ -40,11 +41,16 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x0)["params"]
     weights = [params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6)]
 
-    xla_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    fused_fn = jax.jit(lambda x, ws: fused_rdb(x, ws, 0.2, tile=64))
+    fused_fn = jax.jit(lambda x, ws: fused_rdb(x, ws, 0.2))
 
-    for shape in shapes:
-        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    for dtype in (np.float32, jnp.bfloat16):
+      # per-dtype module so the XLA path computes in the same dtype the
+      # fused kernel receives (production inference is bf16)
+      mdl = ResidualDenseBlock(growth_rate=g, residual_scale=0.2,
+                               dtype=jnp.dtype(dtype))
+      xla_fn = jax.jit(lambda p, x, m=mdl: m.apply({"params": p}, x))
+      for shape in shapes:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
 
         # chained timing: each call's input depends on the previous output
         def timed_input_chained(fn, x, other):
@@ -61,8 +67,11 @@ def main():
 
         ms_xla, out_xla = timed_input_chained(xla_fn, x, params)
         ms_fused, out_fused = timed_input_chained(fused_fn, x, weights)
-        err = float(jnp.abs(out_xla - out_fused).max())
+        err = float(
+            jnp.abs(out_xla.astype(jnp.float32) - out_fused.astype(jnp.float32)).max()
+        )
         print(json.dumps({
+            "dtype": str(jnp.dtype(dtype).name),
             "shape": list(shape),
             "xla_ms": round(ms_xla, 3),
             "fused_ms": round(ms_fused, 3),
