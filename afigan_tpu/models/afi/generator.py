@@ -137,6 +137,23 @@ class AFIGenerator(nn.Module):
             self.n_rdb, self.growth_rate, self.residual_scale, self.dtype,
             fused=self.fused, remat=self.remat, name="generators_0/rir",
         )(y)
+        if self.fused and not self.is_initializing():
+            # Pallas fused conv-upsample (ops/pallas/afi_upsample.py):
+            # mid → ConvTranspose phases → tail → +bilinear skip in one
+            # VMEM-resident kernel. Reads the params the unfused path
+            # creates (init always traces unfused).
+            from ...ops.pallas import fused_upsample
+
+            p = self.variables["params"]
+            return fused_upsample(
+                y, x.astype(self.dtype),
+                p["generators_0/mid"]["conv"]["kernel"],
+                p["generators_0/mid"]["conv"]["bias"],
+                p["generators_0/up"]["kernel"],
+                p["generators_0/up"]["bias"],
+                p["generators_0/tail"]["conv"]["kernel"],
+                p["generators_0/tail"]["conv"]["bias"],
+            ).astype(self.dtype)
         y = leaky_relu02(
             Conv(self.in_channels, 3, padding=1, kernel_init=init,
                  dtype=self.dtype, name="generators_0/mid")(y)

@@ -184,6 +184,9 @@ def fused_rdb(
     b, h, w, c = x.shape
     if tile is None:
         tile = 64 if jnp.dtype(x.dtype).itemsize <= 2 else 48
+    # Mosaic is TPU-only; elsewhere (CPU tests, debugging) run the same
+    # program through the Pallas interpreter.
+    interpret = interpret or jax.default_backend() != "tpu"
     g = weights[0].shape[-1]
     tile_h = min(tile, h)
     # tile_w + 2*PAD is the DMA slice's sublane extent — Mosaic requires

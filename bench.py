@@ -211,6 +211,8 @@ def bench_inference():
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/inference/AFI-GAN_maskrcnn_R_50_FPN.yaml")
+    if os.environ.get("BENCH_FUSED"):  # Pallas fused AFI generator path
+        cfg.MODEL.AFI.FUSED_KERNEL = True
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     h, w = 800, 1344
     rng = np.random.RandomState(0)
