@@ -12,14 +12,12 @@ keeps the WHOLE chain in VMEM per spatial tile:
   * grid over (batch, h_tiles, w_tiles); each program DMAs its input tile
     with an 8-pixel apron from HBM (zero pre-padding at image borders
     reproduces the convs' `padding=1` semantics exactly).
-  * each 3x3 conv is computed as 9 shifted (M, Cin) x (Cin, Cout) MXU
-    matmuls accumulating in fp32; concatenation is NEVER materialized —
-    conv_i over cat(x, c1..c_{i-1}) is a sum of per-input matmul groups.
-  * intermediates c1..c4 stay as SSA values in VMEM with shrinking
-    row halos (4,3,2,1); the final residual add (x + 0.2 * c5) is fused
-    into the store.
+  * every 3x3 conv is 9 shifted (M, Cin) x (Cin, Cout) MXU matmuls
+    accumulating in fp32; concatenation is never round-tripped to HBM.
+  * intermediates c1..c4 stay as SSA values in VMEM; the final residual
+    add (x + 0.2 * c5) is fused into the store.
 
-v2 layout design (what makes Mosaic compile fast AND avoids relayouts —
+Layout design (v2 — what makes Mosaic compile fast AND avoids relayouts;
 the v1 kernel sliced (oh, ow, Cin) windows with ow < buffer width, so
 every one of its 135 patch reshapes forced a strided-copy relayout and
 Mosaic took ~17 min per shape):
@@ -30,13 +28,25 @@ Mosaic took ~17 min per shape):
   * a 3x3 conv tap (dy, dx) over the flattened source is then a ROW
     slice at offset (r0 - ho + dy - 1)*Wb + (dx - 1). The row part is a
     multiple of Wb (8-aligned); the ±1 column shift is hoisted into TWO
-    whole-array sublane `pltpu.roll`s per source, after which all 9 tap
+    whole-array sublane `pltpu.roll`s per source, after which all tap
     slices are 8-aligned and copy-free.
   * convs are computed at full width; the columns that wrap across row
     boundaries produce garbage only in the apron columns, which the
     shrinking-halo bookkeeping guarantees are never read by any valid
     output position, and the final store takes the aligned center
     `[:, 8:8+tile_w]` slice.
+
+MXU-width packing (v3 — narrow matmuls were the remaining bottleneck:
+G=32-channel operands use a quarter of the MXU's 128 lanes/sublanes):
+
+  * the five x-side convs all read the same input, so their kernels are
+    concatenated along OUT channels into one (3,3,C,4G+C) weight: ONE
+    9-tap conv at the widest extent (halo 4) computes every x
+    contribution at full MXU width; each stage row/lane-slices its part.
+  * c1..c_{i-1} are packed along channels into a growing (halo-4 frame,
+    Wb, (i-1)G) buffer, so each stage's dense-concat matmul has
+    K = 32/64/96/128 instead of four separate K=32 ops — and only ONE
+    rolled triple per stage instead of one per source.
 
 Numerics match models/afi/generator.py ResidualDenseBlock (LeakyReLU 0.2
 after convs 1-4, no bias, residual scale 0.2; ref generator_rdb.py:33-71).
@@ -76,14 +86,15 @@ def _inside_image_mask(ti, tj, tile_h, tile_w, row_halo, out_rows, wb, h, w):
     return ok.astype(jnp.float32)[..., None]
 
 
-def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
-                w5x, w5c1, w5c2, w5c3, w5c4,
+def _rdb_kernel(x_hbm, wx, wc2, wc3, wc4, wc5,
                 out_ref, xs, dma_sem,
                 *, tile_h, tile_w, channels, growth, h, w, residual_scale):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     wb = tile_w + 2 * PAD
+    g = growth
+    f32 = jnp.float32
 
     # ---- DMA the input tile + 8-px apron (input is pre-padded with PAD
     # zeros on every side; interior tiles read true neighbor values) ----
@@ -106,7 +117,7 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
         # and the narrowing cast recovers the original values).
         if jnp.dtype(flat.dtype).itemsize < 4:
             return pltpu.roll(
-                flat.astype(jnp.float32), shift, axis=0
+                flat.astype(f32), shift, axis=0
             ).astype(flat.dtype)
         return pltpu.roll(flat, shift, axis=0)
 
@@ -119,45 +130,62 @@ def _rdb_kernel(x_hbm, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
         # pltpu.roll requires a non-negative shift; n-1 ≡ -1 (mod n).
         return (roll(flat, 1), flat, roll(flat, n - 1))
 
+    def conv(tr, base, wr, m, acc):
+        """9-tap conv: Σ_(dy,dx) patch(dy,dx) @ wr[dy,dx] into fp32 acc.
+        ``base``: source row of the output's logical row 0 minus the
+        output halo (so tap rows are base + dy - 1)."""
+        for dy in range(3):
+            a = (base + dy - 1) * wb
+            for dx in range(3):
+                acc = acc + jnp.dot(
+                    tr[dx][a : a + m], wr[dy, dx],
+                    preferred_element_type=f32,
+                )
+        return acc
+
     xv = xs[...]
     xt = triple(xv, channels)
 
-    def conv(sources, w_refs, ho, cout):
-        """One dense conv: output logical rows [-ho, tile_h+ho), full
-        width. ``sources``: [(triple, r0)] where r0 is the source row of
-        the tile's logical row 0 (= the source's own row halo). Returns
-        an (out_rows*wb, cout) fp32 accumulator."""
-        out_rows = tile_h + 2 * ho
-        m = out_rows * wb
-        acc = jnp.zeros((m, cout), jnp.float32)
-        for (tr, r0), wr in zip(sources, w_refs):
-            for dy in range(3):
-                a = (r0 - ho + dy - 1) * wb
-                for dx in range(3):
-                    acc = acc + jnp.dot(
-                        tr[dx][a : a + m], wr[dy, dx],
-                        preferred_element_type=jnp.float32,
-                    )
-        return acc
+    # ---- all five x-side convs as ONE wide conv (N = 4G + C) at the
+    # widest extent (halo 4) ----
+    rows1 = tile_h + 8
+    m1 = rows1 * wb
+    nx = 4 * g + channels
+    xc = conv(xt, PAD - 4, wx, m1, jnp.zeros((m1, nx), f32))
+
+    def xc_part(i, ho, m):
+        """Stage i's x contribution: row-slice to its (halo ho) extent
+        (8-aligned: a multiple of wb) + lane-slice to its out channels."""
+        base = (4 - ho) * wb
+        n0 = (i - 1) * g
+        n1 = n0 + (g if i < 5 else channels)
+        return xc[base : base + m, n0:n1]
 
     def finish(acc, ho):
-        """LeakyReLU + zero outside the image extent, back to a rolled
-        triple for downstream convs."""
+        """LeakyReLU + zero outside the image extent, then zero-pad rows
+        back to the shared halo-4 frame so stages pack channel-wise."""
         out_rows = tile_h + 2 * ho
         msk = _inside_image_mask(ti, tj, tile_h, tile_w, ho, out_rows, wb, h, w)
-        c = _leaky(acc).reshape(out_rows, wb, growth) * msk
-        return triple(c.astype(xs.dtype), growth)
+        c = _leaky(acc).reshape(out_rows, wb, g) * msk
+        pad = 4 - ho
+        if pad:
+            c = jnp.pad(c, ((pad, pad), (0, 0), (0, 0)))
+        return c.astype(xs.dtype)
 
-    c1 = finish(conv([(xt, PAD)], [w1], 4, growth), 4)
-    c2 = finish(conv([(xt, PAD), (c1, 4)], [w2x, w2c1], 3, growth), 3)
-    c3 = finish(conv([(xt, PAD), (c1, 4), (c2, 3)], [w3x, w3c1, w3c2], 2, growth), 2)
-    c4 = finish(
-        conv([(xt, PAD), (c1, 4), (c2, 3), (c3, 2)],
-             [w4x, w4c1, w4c2, w4c3], 1, growth), 1)
-    acc = conv([(xt, PAD), (c1, 4), (c2, 3), (c3, 2), (c4, 1)],
-               [w5x, w5c1, w5c2, w5c3, w5c4], 0, channels)
+    # conv1 = x-part only; its halo-4 extent IS the frame.
+    pack = finish(xc_part(1, 4, m1), 4)
+    for i, wc in ((2, wc2), (3, wc3), (4, wc4)):
+        ho = 5 - i
+        m = (tile_h + 2 * ho) * wb
+        pt = triple(pack, pack.shape[-1])
+        acc = conv(pt, 4 - ho, wc, m, xc_part(i, ho, m))
+        pack = jnp.concatenate([pack, finish(acc, ho)], axis=-1)
 
-    center = xv[PAD : PAD + tile_h, PAD : PAD + tile_w, :].astype(jnp.float32)
+    m0 = tile_h * wb
+    pt = triple(pack, pack.shape[-1])
+    acc = conv(pt, 4, wc5, m0, xc_part(5, 0, m0))
+
+    center = xv[PAD : PAD + tile_h, PAD : PAD + tile_w, :].astype(f32)
     c5 = acc.reshape(tile_h, wb, channels)[:, PAD : PAD + tile_w, :]
     out = center + residual_scale * c5
     out_ref[...] = out[None].astype(out_ref.dtype)
@@ -205,22 +233,16 @@ def fused_rdb(
     hp, wp = h + pad_h, w + pad_w
 
     dtype = x.dtype
-    # split each dense conv's kernel per input: cat(x, c1..ci) @ W ==
-    # x @ W[:c] + Σ_k c_k @ W[c+(k-1)g : c+kg]
-    def seg(wt, k):
-        return wt[:, :, c + (k - 1) * g : c + k * g].astype(dtype)
-
-    w1 = weights[0].astype(dtype)
-    w2x, w2c1 = weights[1][:, :, :c].astype(dtype), seg(weights[1], 1)
-    w3x, w3c1, w3c2 = weights[2][:, :, :c].astype(dtype), seg(weights[2], 1), seg(weights[2], 2)
-    w4x, w4c1, w4c2, w4c3 = (
-        weights[3][:, :, :c].astype(dtype), seg(weights[3], 1),
-        seg(weights[3], 2), seg(weights[3], 3),
-    )
-    w5x, w5c1, w5c2, w5c3, w5c4 = (
-        weights[4][:, :, :c].astype(dtype), seg(weights[4], 1),
-        seg(weights[4], 2), seg(weights[4], 3), seg(weights[4], 4),
-    )
+    # MXU-width packing: cat(x, c1..ci) @ W == x @ W[:c] + pack @ W[c:],
+    # with the five x-side segments further concatenated along OUT
+    # channels (they share the input) into one (3,3,C,4G+C) kernel.
+    wx = jnp.concatenate(
+        [weights[0]] + [wt[:, :, :c] for wt in weights[1:]], axis=-1
+    ).astype(dtype)
+    wc2 = weights[1][:, :, c:].astype(dtype)  # (3,3,G,G)
+    wc3 = weights[2][:, :, c:].astype(dtype)  # (3,3,2G,G)
+    wc4 = weights[3][:, :, c:].astype(dtype)  # (3,3,3G,G)
+    wc5 = weights[4][:, :, c:].astype(dtype)  # (3,3,4G,C)
 
     kernel = functools.partial(
         _rdb_kernel, tile_h=tile_h, tile_w=tile_w, channels=c, growth=g,
@@ -228,7 +250,7 @@ def fused_rdb(
     )
 
     vmem = pltpu.VMEM
-    # The chain keeps the rolled source triples + fp32 accumulator live
+    # The chain keeps the rolled source triples + fp32 accumulators live
     # in VMEM; the default 16 MiB scoped-vmem stack is too small at C=256
     # while the chip has 128 MiB VMEM — raise the kernel's limit instead
     # of shrinking tiles (smaller tiles raise halo read amplification).
@@ -241,7 +263,7 @@ def fused_rdb(
         grid=(b, n_th, n_tw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd manually
-            *[pl.BlockSpec(memory_space=vmem) for _ in range(15)],
+            *[pl.BlockSpec(memory_space=vmem) for _ in range(5)],
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, tile_w, c), lambda bi, i, j: (bi, i, j, 0),
@@ -254,8 +276,7 @@ def fused_rdb(
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(x_in, w1, w2x, w2c1, w3x, w3c1, w3c2, w4x, w4c1, w4c2, w4c3,
-      w5x, w5c1, w5c2, w5c3, w5c4)
+    )(x_in, wx, wc2, wc3, wc4, wc5)
 
     if pad_h or pad_w:
         out = out[:, :h, :w]
