@@ -110,6 +110,37 @@ class ResolvedTransform:
             out[:, 0], out[:, 2] = x1, x2
         return out
 
+    def apply_keypoints(self, keypoints: np.ndarray,
+                        hflip_indices=None) -> np.ndarray:
+        """(N, K, 3) COCO keypoints [x, y, vis] in original coords ->
+        transformed coords (ref afigan_utils.py:140-231, d2
+        ``transform_keypoint_annotations``): coords follow the same
+        crop/resize/flip chain as boxes; on hflip the left/right
+        keypoint IDENTITIES are swapped via ``hflip_indices`` (the
+        dataset's keypoint_hflip_indices permutation — without it a
+        flipped "left eye" would keep the left-eye slot); keypoints
+        landing outside the transformed image get visibility 0, and
+        invisible keypoints are zeroed entirely (d2 convention)."""
+        kp = np.asarray(keypoints, np.float32).reshape(len(keypoints), -1, 3).copy()
+        if kp.size == 0:
+            return kp
+        if self.crop:
+            kp[..., 0] -= self.crop[1]
+            kp[..., 1] -= self.crop[0]
+        kp[..., 0] *= self.new_w / self.src_w
+        kp[..., 1] *= self.new_h / self.src_h
+        if self.hflip:
+            kp[..., 0] = self.new_w - kp[..., 0]
+            if hflip_indices is not None:
+                kp = kp[:, np.asarray(hflip_indices, np.int64)]
+        inside = (
+            (kp[..., 0] >= 0) & (kp[..., 0] <= self.new_w)
+            & (kp[..., 1] >= 0) & (kp[..., 1] <= self.new_h)
+        )
+        kp[..., 2] = np.where(inside, kp[..., 2], 0.0)
+        kp[kp[..., 2] == 0] = 0.0
+        return kp
+
     def apply_polygons(self, polygons):
         sx = self.new_w / self.src_w
         sy = self.new_h / self.src_h

@@ -177,3 +177,31 @@ def test_mapper_crop_enabled_consistency(tiny_coco):
     h2, w2 = out["image_x0.5"].shape[:2]
     assert (h2, w2) == (out["image"].shape[0] // 2, out["image"].shape[1] // 2)
     assert out["gt"]["valid"].any()
+
+
+def test_keypoint_transform_flip_swap_and_visibility():
+    """apply_keypoints (d2 transform_keypoint_annotations parity, ref
+    afigan_utils.py:140-231): coords follow crop/resize/flip; hflip swaps
+    left/right identities; out-of-image keypoints lose visibility."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    tf = ResolvedTransform(orig_h=100, orig_w=200, new_h=50, new_w=100,
+                           hflip=True)
+    # 3 keypoints: [left-ish point, right-ish point, unlabeled]
+    kp = np.array([[[40.0, 20.0, 2.0], [160.0, 20.0, 1.0], [0.0, 0.0, 0.0]]],
+                  np.float32)
+    swap = [1, 0, 2]  # left <-> right identity swap on flip
+    out = tf.apply_keypoints(kp, hflip_indices=swap)
+    # slot 0 now holds the (flipped) former slot-1 point: x = 100 - 160*0.5
+    np.testing.assert_allclose(out[0, 0], [100 - 80.0, 10.0, 1.0])
+    np.testing.assert_allclose(out[0, 1], [100 - 20.0, 10.0, 2.0])
+    # unlabeled keypoint stays zeroed
+    np.testing.assert_allclose(out[0, 2], [0.0, 0.0, 0.0])
+
+    # crop pushing a keypoint outside the window zeroes its visibility
+    tfc = ResolvedTransform(orig_h=100, orig_w=200, new_h=50, new_w=50,
+                            hflip=False, crop=(0, 100, 100, 100))
+    out = tfc.apply_keypoints(np.array([[[40.0, 20.0, 2.0],
+                                         [160.0, 20.0, 2.0]]], np.float32))
+    assert out[0, 0, 2] == 0.0 and tuple(out[0, 0, :2]) == (0.0, 0.0)
+    np.testing.assert_allclose(out[0, 1], [30.0, 10.0, 2.0])
