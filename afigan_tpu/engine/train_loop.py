@@ -19,6 +19,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .events import CommonMetricPrinter, EventStorage, JSONWriter, TensorboardWriter
+from ..parallel.mesh import cross_process_max
 
 
 class Hook:
@@ -104,7 +105,12 @@ class TrainLoop:
             while self.storage.iter < self.max_iter:
                 t0 = time.perf_counter()
                 metrics = run_step()
-                self.storage.put_scalar("data_time", metrics.pop("data_time", 0.0))
+                # d2 semantics: the SLOWEST worker's loader stalls every
+                # replica's step, so data_time reports the process max.
+                self.storage.put_scalar(
+                    "data_time",
+                    cross_process_max(metrics.pop("data_time", 0.0)),
+                )
                 self._detect_anomaly(metrics)
                 for k, v in metrics.items():
                     self.storage.put_scalar(k, v)

@@ -72,3 +72,20 @@ def initialize_distributed():
 
 def process_is_main() -> bool:
     return jax.process_index() == 0
+
+
+def cross_process_max(value: float) -> float:
+    """Max of a host-side scalar across processes (single-process: identity).
+
+    d2's SimpleTrainer reports data_time as the MAX over workers (the
+    slowest loader stalls every replica's step under data parallelism,
+    ref d2 train_loop _write_metrics semantics); this is its equivalent
+    for the one-process-per-host launch model — a one-element allgather
+    per call, same cadence d2 pays with comm.gather.
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray([value], np.float32))
+    return float(np.max(gathered))
