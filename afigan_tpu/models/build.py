@@ -82,14 +82,21 @@ def _make_backbone_builder(bottom_up_fn, pyramid: str, interp: str):
     def build(cfg, train=False, axis_name=None, dtype=None):
         dtype = dtype or _dtype_of(cfg)
         bottom_up = bottom_up_fn(cfg, train=train, axis_name=axis_name, dtype=dtype)
+        # TPU.REMAT also rematerializes the whole pyramid: at batch 16 /
+        # 800x1344 the saved p2-p6 planes are ~1.5 GB bf16 while the
+        # pyramid recompute is cheap next to the backbone's.
+        rm = bool(train and cfg.TPU.REMAT)
+        fpn_cls = nn.remat(FPN) if rm else FPN
+        pafpn_cls = nn.remat(PAFPN) if rm else PAFPN
+        bifpn_cls = nn.remat(BiFPN) if rm else BiFPN
         if pyramid == "fpn":
-            pyr = FPN(name="fpn", top_block=cfg.MODEL.FPN.TOP_BLOCK,
-                      top_block_in_feature=cfg.MODEL.FPN.TOP_BLOCK_IN_FEATURE,
-                      **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
+            pyr = fpn_cls(name="fpn", top_block=cfg.MODEL.FPN.TOP_BLOCK,
+                          top_block_in_feature=cfg.MODEL.FPN.TOP_BLOCK_IN_FEATURE,
+                          **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
         elif pyramid == "pafpn":
-            pyr = PAFPN(name="fpn", **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
+            pyr = pafpn_cls(name="fpn", **_fpn_kwargs(cfg, interp, train, axis_name, dtype))
         elif pyramid == "bifpn":
-            pyr = BiFPN(
+            pyr = bifpn_cls(
                 name="fpn",
                 in_features=tuple(cfg.MODEL.BIFPN.IN_FEATURES),
                 out_channels=cfg.MODEL.BIFPN.OUT_CHANNELS,

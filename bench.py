@@ -267,6 +267,11 @@ def main():
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
     cfg.MODEL.AFI_FREEZE = False
+    if os.environ.get("BENCH_REMAT"):
+        # rematerialize backbone/AFI activations: the enabler for the
+        # reference's GLOBAL batch 16 on a single 16 GB chip (plain
+        # batch-16 needs 18.1 GB; the reference spreads 16 across 8 V100s)
+        cfg.TPU.REMAT = True
 
     # Realistic training shapes: 800-short-side COCO canvas, per-chip batch.
     batch = int(os.environ.get("BENCH_BATCH", "8"))

@@ -212,3 +212,22 @@ def test_stage1_adversarial_gradient_reaches_generator():
         "adversarial weight had no effect on the G update — the adv term "
         "is detached from the generator (quirk Q3 reintroduced)"
     )
+
+
+def test_stage3_remat_is_numerically_identical():
+    """TPU.REMAT (backbone bottlenecks + AFI blocks + whole pyramid
+    rematerialized) is a pure memory/compute trade: one train step must
+    produce the SAME loss as the un-rematted program."""
+    losses = {}
+    for remat in (False, True):
+        cfg = _stage3_cfg()
+        cfg.MODEL.AFI_FREEZE = False
+        cfg.TPU.REMAT = remat
+        state = init_stage3_state(
+            cfg, jax.random.PRNGKey(0), sample_hw=(64, 64), max_gt=4
+        )
+        step = make_stage3_train_step(cfg)
+        _, metrics = step(state, _det_batch(), jax.random.PRNGKey(1))
+        losses[remat] = float(metrics["total_loss"])
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 1e-3, losses
