@@ -308,6 +308,10 @@ _C.TPU.MASK_CANVAS = 112
 # slows it (15.7); batch 16 OOMs either way (pooler stacking dominates) —
 # so default off; flip on for memory-constrained configs.
 _C.TPU.REMAT = False
+# ROI pooler implementation: "fast" (windowed-matmul forward +
+# point-scatter backward, the default), "windowed" (same forward,
+# autodiff backward), "gather" (per-point gather reference).
+_C.TPU.POOLER_IMPL = "fast"
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

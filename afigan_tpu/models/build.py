@@ -176,6 +176,7 @@ def build_roi_heads(cfg, train=False, axis_name=None, dtype=None):
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         sampling_ratio=max(bh.POOLER_SAMPLING_RATIO, 2),
         aligned=bh.POOLER_TYPE != "ROIAlign",
+        pooler_impl=cfg.TPU.POOLER_IMPL,
         train=train,
         axis_name=axis_name,
         dtype=dtype,

@@ -43,6 +43,7 @@ def nms_keep_mask(
     iou_threshold: float,
     valid: Optional[jnp.ndarray] = None,
     block_size: int = 128,
+    stop_after: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run NMS over score-sorted boxes.
 
@@ -50,6 +51,13 @@ def nms_keep_mask(
         boxes: (N, 4) xyxy.
         scores: (N,).
         valid: optional (N,) bool; invalid entries can never be kept.
+        stop_after: early termination — stop processing blocks once this
+            many boxes are kept. Keep decisions have a PREFIX property
+            (later blocks never suppress earlier ones), so the identity
+            of the top-``stop_after`` survivors is exact; tail entries of
+            the returned mask are then unresolved (left at ``valid``) and
+            callers must only consume the top ``stop_after`` kept. 0 =
+            process everything (fully exact mask).
 
     Returns:
         order: (N,) int32 indices sorting scores descending (invalid last).
@@ -103,9 +111,30 @@ def nms_keep_mask(
         suppressed_later = jnp.any(
             blk_keep[:, None] & (iou_bn > iou_threshold), axis=0
         ) & later
-        return keep & ~suppressed_later
+        return keep & ~suppressed_later, jnp.sum(blk_keep.astype(jnp.int32))
 
-    keep = jax.lax.fori_loop(0, nb, block_step, valid_s)
+    if stop_after <= 0:
+        keep = jax.lax.fori_loop(
+            0, nb, lambda k, kp: block_step(k, kp)[0], valid_s
+        )
+    else:
+        # Early termination: a processed block's keep decisions are FINAL
+        # (suppression only flows forward), so once >= stop_after boxes
+        # are kept the top-stop_after survivors cannot change — skip the
+        # remaining blocks. For RPN-sized inputs (10k candidates -> 1000
+        # proposals) this typically halves the sequential block chain.
+        def loop_cond(state):
+            k, _, kept_cnt = state
+            return (k < nb) & (kept_cnt < stop_after)
+
+        def loop_body(state):
+            k, keep, kept_cnt = state
+            keep, blk_cnt = block_step(k, keep)
+            return k + 1, keep, kept_cnt + blk_cnt
+
+        _, keep, _ = jax.lax.while_loop(
+            loop_cond, loop_body, (jnp.int32(0), valid_s, jnp.int32(0))
+        )
     return order, keep[:n]
 
 
@@ -122,9 +151,13 @@ def nms_padded(
         out_boxes: (max_out, 4); out_scores: (max_out,);
         out_idx: (max_out,) original indices; out_valid: (max_out,) bool.
     """
-    order, keep_sorted = nms_keep_mask(boxes, scores, iou_threshold, valid)
+    order, keep_sorted = nms_keep_mask(
+        boxes, scores, iou_threshold, valid, stop_after=max_out
+    )
     # Compact survivors to the front, preserving score order (top_k on the
     # keep mask is stable: ties broken by lowest index = highest score).
+    # (stop_after=max_out: only the top-max_out kept entries are consumed
+    # below, exactly the prefix the early-terminated mask guarantees.)
     _, sel = jax.lax.top_k(keep_sorted.astype(jnp.int32), max_out)
     out_valid = keep_sorted[sel]
     orig_idx = order[sel]

@@ -248,6 +248,7 @@ def multilevel_roi_align_windowed(
     canonical_level: int = 4,
     window: int = 0,
     overflow_slots: int = 64,
+    use_dma_gather: bool = False,
 ) -> jnp.ndarray:
     """ROIAlign as per-ROI window extraction + two interpolation matmuls.
 
@@ -291,6 +292,10 @@ def multilevel_roi_align_windowed(
     if window <= 0:
         top_extent = max(int(heights[-1]), int(widths[-1])) + 2
         window = int(np.ceil(max(48, top_extent) / 8) * 8)
+        if use_dma_gather:
+            # +8 slack: the DMA extractor needs 8-aligned column starts,
+            # and rounding a start down shifts it up to 7 columns left.
+            window += 8
     wmax = max(int(widths.max()), window)
     # Row-concatenated (sumH, Wmax, C) tensor: one dynamic-slice source.
     pad_h = np.maximum(heights, window)
@@ -351,17 +356,34 @@ def multilevel_roi_align_windowed(
 
     wy = win_start(ys, lvl_h)
     wx = win_start(xs, lvl_w)
+    if use_dma_gather:
+        # column starts 8-aligned (DMA sublane alignment; rounding down
+        # only extends coverage left — the +8 window slack absorbs it,
+        # and the interpolation weights are computed relative to the
+        # rounded start so the math is unchanged)
+        wx = (wx // 8) * 8
 
     ry, max_rel_y = axis_matrix(ys, lvl_h, wy)  # (R, P, window)
     rx, max_rel_x = axis_matrix(xs, lvl_w, wx)
     ry = ry.astype(dtype)
     rx = rx.astype(dtype)
 
-    windows = jax.vmap(
-        lambda row, x: jax.lax.dynamic_slice(
-            concat, (row, x, 0), (window, window, c)
-        )
-    )(lvl_base + wy, wx)  # (R, window, window, C)
+    if use_dma_gather:
+        # per-ROI hardware DMA (ops/pallas/window_gather.py). Measured
+        # SLOWER in the full stage-3 step (14.6 vs 16.4 img/s): the
+        # one-DMA-per-grid-step kernel serializes 512 copies and the +8
+        # window slack grows both phases, while XLA's fused gather
+        # overlaps with surrounding compute. Kept selectable for
+        # future batched-DMA iterations.
+        from .pallas.window_gather import gather_windows
+
+        windows = gather_windows(concat, lvl_base + wy, wx, window)
+    else:
+        windows = jax.vmap(
+            lambda row, x: jax.lax.dynamic_slice(
+                concat, (row, x, 0), (window, window, c)
+            )
+        )(lvl_base + wy, wx)  # (R, window, window, C)
 
     # out[r] = Ry[r] @ win[r] @ Rx[r]^T  (two batched MXU matmuls)
     tmp = jnp.einsum("rpk,rkwc->rpwc", ry, windows,

@@ -1,6 +1,7 @@
 """NMS parity tests against a naive python reference (torchvision semantics)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from afigan_tpu.ops import batched_nms_padded, nms_keep_mask, nms_padded
@@ -93,3 +94,23 @@ def test_nms_max_out_truncation():
     _, _, oi, ov = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.9, k)
     got = list(np.asarray(oi)[np.asarray(ov)])
     assert got == want[:k]
+
+
+def test_nms_early_termination_prefix_exact():
+    """stop_after early exit must yield exactly the same top-max_out
+    survivors as the fully-processed mask (prefix property), at RPN scale
+    (thousands of candidates, heavy suppression)."""
+    rng = np.random.RandomState(7)
+    n, max_out = 4096, 256
+    centers = rng.rand(n, 2) * 400
+    wh = rng.rand(n, 2) * 60 + 10
+    boxes = jnp.asarray(
+        np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+    )
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    full = nms_padded(boxes, scores, 0.5, max_out)
+    ob, osc, oi, ov = full
+    order, keep = nms_keep_mask(boxes, scores, 0.5, stop_after=max_out)
+    _, sel = jax.lax.top_k(keep.astype(jnp.int32), max_out)
+    np.testing.assert_array_equal(np.asarray(order[sel]), np.asarray(oi))
+    np.testing.assert_array_equal(np.asarray(keep[sel]), np.asarray(ov))

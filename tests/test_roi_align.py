@@ -240,3 +240,22 @@ def test_fast_pooler_forward_and_grad_match_gather():
     g_ref = jax.grad(loss_ref)(feats)
     for a, b in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_gather_windows_matches_dynamic_slice():
+    """Pallas per-ROI DMA window extractor (interpret mode) must equal
+    the vmapped dynamic_slice it replaces on TPU."""
+    import jax
+
+    from afigan_tpu.ops.pallas.window_gather import gather_windows
+
+    rng = np.random.RandomState(0)
+    c, window = 32, 16
+    concat = jnp.asarray(rng.randn(80, 64, c).astype(np.float32))
+    rows = jnp.asarray(rng.randint(0, 80 - window, size=(9,)).astype(np.int32))
+    cols = jnp.asarray((rng.randint(0, (64 - window) // 8, size=(9,)) * 8).astype(np.int32))
+    want = jax.vmap(
+        lambda r0, c0: jax.lax.dynamic_slice(concat, (r0, c0, 0), (window, window, c))
+    )(rows, cols)
+    got = gather_windows(concat, rows, cols, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
