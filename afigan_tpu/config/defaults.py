@@ -183,6 +183,20 @@ _C.MODEL.ROI_MASK_HEAD.NORM = ""
 _C.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
 _C.MODEL.ROI_MASK_HEAD.POOLER_TYPE = "ROIAlignV2"
 
+# Keypoint R-CNN head (d2 v0.1.1 KRCNNConvDeconvUpsampleHead defaults —
+# the substrate behind the reference evaluator's OKS keypoint task,
+# ref afigan/evaluation/coco_evaluation.py:477-511)
+_C.MODEL.ROI_KEYPOINT_HEAD = CN()
+_C.MODEL.ROI_KEYPOINT_HEAD.NAME = "KRCNNConvDeconvUpsampleHead"
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = [512, 512, 512, 512, 512, 512, 512, 512]
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17
+_C.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE = 1
+_C.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS = True
+_C.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT = 1.0
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE = "ROIAlignV2"
+
 # FCOS head (BASELINE.json target config; external codebase in the reference,
 # first-class citizen here)
 _C.MODEL.FCOS = CN()
@@ -308,6 +322,9 @@ _C.TPU.MASK_CANVAS = 112
 # slows it (15.7); batch 16 OOMs either way (pooler stacking dominates) —
 # so default off; flip on for memory-constrained configs.
 _C.TPU.REMAT = False
+# Training-only: approx_max_k (TPU PartialReduce, recall >= 0.95) for the
+# RPN pre-NMS per-level top-k; eval always uses exact top_k (d2 numerics).
+_C.TPU.APPROX_TOPK = True
 # ROI pooler implementation: "fast" (windowed-matmul forward +
 # point-scatter backward, the default), "windowed" (same forward,
 # autodiff backward), "gather" (per-point gather reference).

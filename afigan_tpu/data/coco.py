@@ -48,6 +48,25 @@ class CocoDataset:
         self.class_names = [
             c["name"] for c in sorted(coco.get("categories", []), key=lambda c: c["id"])
         ]
+        # left/right keypoint identity swap for horizontal flip (d2
+        # create_keypoint_hflip_indices, derived from category keypoint
+        # names: "left_X" <-> "right_X")
+        self.keypoint_hflip_indices = None
+        for c in coco.get("categories", []):
+            names = c.get("keypoints")
+            if names:
+                idx = list(range(len(names)))
+                for i, n in enumerate(names):
+                    if n.startswith("left_"):
+                        other = "right_" + n[len("left_"):]
+                    elif n.startswith("right_"):
+                        other = "left_" + n[len("right_"):]
+                    else:
+                        continue
+                    if other in names:
+                        idx[i] = names.index(other)
+                self.keypoint_hflip_indices = idx
+                break
 
         anns_by_img: Dict[int, List[Dict]] = {}
         for a in coco.get("annotations", []):
@@ -69,15 +88,16 @@ class CocoDataset:
                 x, y, w, h = a["bbox"]
                 if w <= 0 or h <= 0:
                     continue
-                objs.append(
-                    {
-                        "bbox": [x, y, x + w, y + h],  # XYXY
-                        "category_id": self.cat_id_to_contiguous[a["category_id"]],
-                        "segmentation": a.get("segmentation"),
-                        "iscrowd": a.get("iscrowd", 0),
-                        "area": a.get("area", w * h),
-                    }
-                )
+                obj = {
+                    "bbox": [x, y, x + w, y + h],  # XYXY
+                    "category_id": self.cat_id_to_contiguous[a["category_id"]],
+                    "segmentation": a.get("segmentation"),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "area": a.get("area", w * h),
+                }
+                if "keypoints" in a:
+                    obj["keypoints"] = a["keypoints"]  # flat [x,y,v]*K
+                objs.append(obj)
             if filter_empty and not any(o["iscrowd"] == 0 for o in objs):
                 continue
             self.records.append(

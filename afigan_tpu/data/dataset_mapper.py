@@ -55,9 +55,12 @@ class DatasetMapper:
     """record → dict of numpy arrays (unpadded image; padded GT)."""
 
     def __init__(self, cfg, is_train: bool = True, dual_scale: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, keypoint_hflip_indices=None):
         self.is_train = is_train
         self.dual_scale = dual_scale
+        self.keypoint_on = cfg.MODEL.KEYPOINT_ON
+        self.num_keypoints = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS
+        self.keypoint_hflip_indices = keypoint_hflip_indices
         self.fmt = cfg.INPUT.FORMAT
         self.min_sizes = (
             list(cfg.INPUT.MIN_SIZE_TRAIN) if is_train else [cfg.INPUT.MIN_SIZE_TEST]
@@ -147,6 +150,20 @@ class DatasetMapper:
             classes[:n] = [o["category_id"] for o in objs]
             valid[:n] = keep
         gt = {"boxes": boxes, "classes": classes, "valid": valid}
+        if self.keypoint_on:
+            kp = np.zeros((self.max_gt, self.num_keypoints, 3), np.float32)
+            raw_kp = [o.get("keypoints") for o in objs]
+            if any(r is not None for r in raw_kp):
+                stacked = np.zeros((n, self.num_keypoints, 3), np.float32)
+                for i, r in enumerate(raw_kp):
+                    if r is not None:
+                        stacked[i] = np.asarray(r, np.float32).reshape(
+                            self.num_keypoints, 3
+                        )
+                kp[:n] = tf.apply_keypoints(
+                    stacked, hflip_indices=self.keypoint_hflip_indices
+                )
+            gt["keypoints"] = kp
         if self.mask_on:
             if share_masks is not None:
                 # canvases are box-relative → scale-invariant; reuse

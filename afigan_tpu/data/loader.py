@@ -208,7 +208,10 @@ def build_train_loader(cfg, dataset, dual_scale: bool = False,
         )
     else:
         sampler = TrainingSampler(len(dataset.records), seed, shard_id, num_shards)
-    mapper = DatasetMapper(cfg, is_train=True, dual_scale=dual_scale, seed=seed)
+    mapper = DatasetMapper(
+        cfg, is_train=True, dual_scale=dual_scale, seed=seed,
+        keypoint_hflip_indices=getattr(dataset, "keypoint_hflip_indices", None),
+    )
     return PrefetchingLoader(
         dataset.records, sampler, mapper, per_host_batch,
         cfg.TPU.IMAGE_BUCKETS, dual_scale, cfg.DATALOADER.NUM_WORKERS,

@@ -57,14 +57,73 @@ def rescale_boxes(boxes: np.ndarray, resized_hw, orig_hw) -> np.ndarray:
     return out
 
 
+def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
+                           max_images: Optional[int] = None
+                           ) -> Dict[str, Dict[str, float]]:
+    """Box-proposal AR eval for the ProposalNetwork meta-arch — the
+    reference evaluator's first-class "proposals" task
+    (ref afigan/evaluation/coco_evaluation.py:145-191,366-474):
+    AR@{100,1000} x area buckets over RPN outputs."""
+    from ..data.loader import build_test_loader
+    from ..evaluation.coco_eval import evaluate_box_proposals
+
+    apply_fn = jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))
+    proposals: Dict[int, Dict[str, np.ndarray]] = {}
+    seen = 0
+    for batch in build_test_loader(cfg, dataset, batch_size=batch_size):
+        out = apply_fn(variables, jnp.asarray(batch["image"]),
+                       jnp.asarray(batch["image_sizes"]))
+        boxes, scores, valid = (np.asarray(out.proposals), np.asarray(out.scores),
+                                np.asarray(out.valid))
+        for i in range(boxes.shape[0]):
+            if max_images is not None and seen >= max_images:
+                break
+            orig_hw = batch["orig_sizes"][i]
+            img_boxes = rescale_boxes(
+                boxes[i][valid[i]], batch["image_sizes"][i], orig_hw
+            )
+            proposals[batch["image_id"][i]] = {
+                "boxes": img_boxes, "scores": scores[i][valid[i]],
+            }
+            seen += 1
+        if max_images is not None and seen >= max_images:
+            break
+
+    res = {}
+    for limit in (100, 1000):
+        for area, suffix in (("all", ""), ("small", "s"), ("medium", "m"),
+                             ("large", "l")):
+            stats = evaluate_box_proposals(
+                proposals, dataset, area=area, limit=limit
+            )
+            res[f"AR{suffix}@{limit}"] = stats["ar"] * 100
+    results = {"box_proposals": res}
+    logger.info(
+        "box_proposals: " + "  ".join(f"{k}={v:.2f}" for k, v in res.items())
+    )
+    return results
+
+
 def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
                   max_images: Optional[int] = None,
                   distributed: bool = False) -> Dict[str, Dict[str, float]]:
     """inference_on_dataset + COCOEvaluator.evaluate (ref run_net.py:99-100)."""
     from ..data.loader import build_test_loader
 
-    tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
-    evaluator = CocoEvaluator(dataset, tasks=tasks, distributed=distributed)
+    if cfg.MODEL.META_ARCHITECTURE == "ProposalNetwork":
+        return run_proposal_inference(
+            cfg, model, variables, dataset, batch_size, max_images
+        )
+
+    tasks = ["bbox"]
+    if cfg.MODEL.MASK_ON:
+        tasks.append("segm")
+    if cfg.MODEL.KEYPOINT_ON:
+        tasks.append("keypoints")
+    evaluator = CocoEvaluator(
+        dataset, tasks=tuple(tasks), distributed=distributed,
+        oks_sigmas=(list(cfg.TEST.KEYPOINT_OKS_SIGMAS) or None),
+    )
 
     apply_fn = jax.jit(
         lambda v, images, sizes: model.apply(v, images, sizes)
@@ -81,6 +140,9 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
         classes = np.asarray(dets.classes)
         valid = np.asarray(dets.valid)
         masks_np = np.asarray(masks) if masks is not None else None
+        kps_np = (
+            np.asarray(dets.keypoints) if dets.keypoints is not None else None
+        )
 
         b = boxes.shape[0]
         for i in range(b):
@@ -93,10 +155,17 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
             if masks_np is not None:
                 pasted = paste_masks(masks_np[i], img_boxes, valid[i], orig_h, orig_w)
                 full_masks = [pasted]
+            img_kps = None
+            if kps_np is not None:
+                k = kps_np[i].copy()  # (D, K, 3) resized-canvas coords
+                k[..., 0] *= orig_w / max(resized_hw[1], 1)
+                k[..., 1] *= orig_h / max(resized_hw[0], 1)
+                img_kps = k[None]
             evaluator.process(
                 [batch["image_id"][i]], img_boxes[None], scores[i][None],
                 classes[i][None], valid[i][None],
                 masks=full_masks if full_masks else None,
+                keypoints=img_kps,
             )
             seen += 1
         if max_images is not None and seen >= max_images:

@@ -55,6 +55,10 @@ def init_stage3_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Stage3State:
         classes=jnp.zeros((1, max_gt), jnp.int32),
         valid=jnp.zeros((1, max_gt), bool),
         masks=jnp.zeros((1, max_gt, 28, 28)) if cfg.MODEL.MASK_ON else None,
+        keypoints=(
+            jnp.zeros((1, max_gt, cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS, 3))
+            if cfg.MODEL.KEYPOINT_ON else None
+        ),
     )
     variables = det.init(
         {"params": kp, "sampling": ks},

@@ -63,6 +63,7 @@ def _gt_from_batch(g: Dict) -> GroundTruth:
         classes=jnp.asarray(g["classes"]),
         valid=jnp.asarray(g["valid"]),
         masks=jnp.asarray(g["masks"]) if "masks" in g else None,
+        keypoints=jnp.asarray(g["keypoints"]) if "keypoints" in g else None,
     )
 
 
@@ -444,9 +445,13 @@ class AFExtractorTrainer(_BaseTrainer):
         variables = {"params": st.det_params}
         if st.det_stats:
             variables["batch_stats"] = st.det_stats
-        return run_inference(
+        results = run_inference(
             cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
         )
+        from .testing import verify_results
+
+        verify_results(self.cfg, results)  # ref stage1_trainer.py:296-301
+        return results
 
 
 class TargetDetectorTrainer(_BaseTrainer):
@@ -559,9 +564,13 @@ class TargetDetectorTrainer(_BaseTrainer):
         variables = {"params": st.params}
         if st.stats:
             variables["batch_stats"] = st.stats
-        return run_inference(
+        results = run_inference(
             cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
         )
+        from .testing import verify_results
+
+        verify_results(cfg, results)  # ref stage1_trainer.py:296-301
+        return results
 
     def _bn_stats(self):
         st = self.state

@@ -63,15 +63,17 @@ def _bbox_iou_matrix(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _oks_iou_matrix(dts: List[Dict], gts: List[Dict]) -> np.ndarray:
+def _oks_iou_matrix(dts: List[Dict], gts: List[Dict],
+                    sigmas: np.ndarray = None) -> np.ndarray:
     """OKS keypoint similarity (pycocotools computeOks numerics).
 
     dt/gt keypoints: flat [x1, y1, v1, x2, y2, v2, ...]; gt 'area' and
-    'bbox' drive the scale / unlabeled-gt fallback window.
+    'bbox' drive the scale / unlabeled-gt fallback window. ``sigmas``
+    overrides the COCO-person table (TEST.KEYPOINT_OKS_SIGMAS).
     """
     if not dts or not gts:
         return np.zeros((len(dts), len(gts)))
-    sigmas = KPT_SIGMAS
+    sigmas = KPT_SIGMAS if sigmas is None else np.asarray(sigmas, np.float64)
     var = (sigmas * 2) ** 2
     k = len(sigmas)
     out = np.zeros((len(dts), len(gts)))
@@ -179,8 +181,10 @@ class CocoEvalNP:
     def __init__(self, gt_anns: Sequence[Dict], dt_anns: Sequence[Dict],
                  img_ids: Sequence, cat_ids: Sequence, iou_type: str = "bbox",
                  max_dets: Sequence[int] = (1, 10, MAX_DETS),
-                 class_names: Sequence[str] = ()):
+                 class_names: Sequence[str] = (),
+                 oks_sigmas=None):
         self.iou_type = iou_type
+        self.oks_sigmas = oks_sigmas
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
         self.class_names = list(class_names)
@@ -234,7 +238,8 @@ class CocoEvalNP:
                         iscrowd,
                     )
                 elif self.iou_type == "keypoints":
-                    ious = _oks_iou_matrix(dts[:max_det], gts)
+                    ious = _oks_iou_matrix(dts[:max_det], gts,
+                                           sigmas=self.oks_sigmas)
                 else:
                     ious = _segm_iou_matrix(
                         [d["segmentation"] for d in dts[:max_det]],
@@ -332,26 +337,19 @@ class CocoEvalNP:
 def allgather_pyobj(objs: List) -> List:
     """Gather arbitrary pickleable per-host LISTS across processes.
 
-    ``multihost_utils.process_allgather`` requires array-convertible
-    leaves (prediction dicts with RLE count strings are not) — so each
-    host pickles its list to a uint8 buffer, lengths are allgathered
-    first, buffers are padded to the max length, gathered, and unpickled
+    Rides the coordination-service KV store (``kv_allgather_bytes``)
+    rather than Gloo device collectives: prediction dicts (RLE count
+    strings) aren't array-convertible, and host-side gathers must
+    tolerate rank skew far beyond Gloo's ~30 s rendezvous window
     (ref coco_evaluation.py:117-144's comm.gather equivalent).
     """
     import pickle
 
-    from jax.experimental import multihost_utils
+    from ..parallel.mesh import kv_allgather_bytes
 
-    buf = np.frombuffer(pickle.dumps(list(objs)), np.uint8)
-    sizes = multihost_utils.process_allgather(np.array([buf.size], np.int64))
-    sizes = np.asarray(sizes).reshape(-1)
-    padded = np.zeros(int(sizes.max()), np.uint8)
-    padded[: buf.size] = buf
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    gathered = gathered.reshape(sizes.size, -1)
     out: List = []
-    for i in range(sizes.size):
-        out.extend(pickle.loads(gathered[i, : int(sizes[i])].tobytes()))
+    for buf in kv_allgather_bytes(pickle.dumps(list(objs)), tag="evalgather"):
+        out.extend(pickle.loads(buf))
     return out
 
 
@@ -444,12 +442,16 @@ def evaluate_box_proposals(proposals: Dict[int, Dict[str, np.ndarray]],
 class CocoEvaluator:
     """Accumulating evaluator with the d2 COCOEvaluator surface."""
 
-    def __init__(self, dataset, tasks=("bbox",), distributed: bool = False):
+    def __init__(self, dataset, tasks=("bbox",), distributed: bool = False,
+                 oks_sigmas=None):
         """dataset: object with .annotations (COCO gt anns), .img_ids,
-        .cat_ids, and .contiguous_to_cat_id mapping."""
+        .cat_ids, and .contiguous_to_cat_id mapping. ``oks_sigmas``:
+        per-keypoint OKS sigmas (TEST.KEYPOINT_OKS_SIGMAS; COCO-person
+        table when None)."""
         self.dataset = dataset
         self.tasks = tuple(tasks)
         self.distributed = distributed
+        self.oks_sigmas = oks_sigmas
         self.predictions: List[Dict] = []
 
     def reset(self):
@@ -500,6 +502,7 @@ class CocoEvaluator:
                 gt_anns, predictions,
                 self.dataset.img_ids, self.dataset.cat_ids, iou_type=task,
                 class_names=getattr(self.dataset, "class_names", ()),
+                oks_sigmas=self.oks_sigmas,
             )
             results[task] = ev.run()
         return results

@@ -112,6 +112,7 @@ class Detections(NamedTuple):
     scores: jnp.ndarray  # (D,)
     classes: jnp.ndarray  # (D,) int32
     valid: jnp.ndarray  # (D,) bool
+    keypoints: Optional[jnp.ndarray] = None  # (D, K, 3) [x, y, score]
 
 
 def fast_rcnn_inference_single(

@@ -167,6 +167,14 @@ def build_roi_heads(cfg, train=False, axis_name=None, dtype=None):
         mask_conv_dim=mh.CONV_DIM,
         mask_norm=mh.NORM,
         cls_agnostic_mask=mh.CLS_AGNOSTIC_MASK,
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        keypoint_pooler_resolution=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
+        keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_loss_weight=cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT,
+        keypoint_normalize_by_visible=(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
+        ),
         batch_size_per_image=rh.BATCH_SIZE_PER_IMAGE,
         positive_fraction=rh.POSITIVE_FRACTION,
         iou_threshold=rh.IOU_THRESHOLDS[0],
@@ -183,6 +191,11 @@ def build_roi_heads(cfg, train=False, axis_name=None, dtype=None):
         name="roi_heads",
     )
     if rh.NAME == "Res5ROIHeads":
+        if cfg.MODEL.KEYPOINT_ON:
+            raise ValueError(
+                "KEYPOINT_ON requires Standard/Cascade ROI heads "
+                "(d2 keypoint models are FPN-based)"
+            )
         from .res5_roi_heads import Res5ROIHeads
 
         r = cfg.MODEL.RESNETS
@@ -237,6 +250,7 @@ def _rcnn_kwargs(cfg, train, axis_name, dtype):
         post_nms_topk=rpn.POST_NMS_TOPK_TRAIN if train else rpn.POST_NMS_TOPK_TEST,
         rpn_nms_thresh=rpn.NMS_THRESH,
         rpn_min_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
+        rpn_approx_topk=bool(train and cfg.TPU.APPROX_TOPK),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         train=train,
@@ -258,6 +272,12 @@ def build_model(cfg, train: bool = False, axis_name=None,
             return_features=return_features or arch == "GeneralizedRCNN_AFExtractor",
             **_rcnn_kwargs(cfg, train, axis_name, dtype),
         )
+    if arch == "ProposalNetwork":
+        from .meta_arch import ProposalNetwork
+
+        backbone = build_backbone(cfg, train=train, axis_name=axis_name, dtype=dtype)
+        kwargs = _rcnn_kwargs(cfg, train, axis_name, dtype)
+        return ProposalNetwork(backbone=backbone, **kwargs)
     if arch == "FCOS":
         from .fcos import build_fcos
 

@@ -78,6 +78,10 @@ class CascadeROIHeads(StandardROIHeads):
     ):
         if not self.train and given_dets is not None:
             masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
+            if self.keypoint_on:
+                given_dets = given_dets._replace(
+                    keypoints=self._keypoint_branch_infer(features, given_dets)
+                )
             return given_dets, masks
 
         num_stages = len(self.cascade_ious)
@@ -144,6 +148,10 @@ class CascadeROIHeads(StandardROIHeads):
 
             if self.mask_on:
                 losses["loss_mask"] = self._mask_branch_train(features, sampled, gt)
+            if self.keypoint_on:
+                losses["loss_keypoint"] = self._keypoint_branch_train(
+                    features, sampled, gt
+                )
             return losses
 
         # ---------------- inference ----------------
@@ -171,4 +179,8 @@ class CascadeROIHeads(StandardROIHeads):
         masks = None
         if self.mask_on:
             masks = self._mask_branch_infer(features, dets)
+        if self.keypoint_on:
+            dets = dets._replace(
+                keypoints=self._keypoint_branch_infer(features, dets)
+            )
         return dets, masks

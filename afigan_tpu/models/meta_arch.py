@@ -57,6 +57,7 @@ class GeneralizedRCNN(nn.Module):
     post_nms_topk: int = 1000
     rpn_nms_thresh: float = 0.7
     rpn_min_size: float = 0.0
+    rpn_approx_topk: bool = False  # TPU.APPROX_TOPK (training steps only)
     # preprocessing
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
@@ -99,7 +100,7 @@ class GeneralizedRCNN(nn.Module):
         proposals = generate_proposals(
             anchors_per_level, logits_l, deltas_l, image_sizes, box2box,
             self.pre_nms_topk, self.post_nms_topk, self.rpn_nms_thresh,
-            self.rpn_min_size,
+            self.rpn_min_size, approx_topk=self.rpn_approx_topk,
         )
 
         if self.train:
@@ -140,6 +141,96 @@ class GeneralizedRCNN(nn.Module):
         if self.return_features:
             return (dets, masks), features
         return dets, masks
+
+
+class ProposalNetwork(nn.Module):
+    """Backbone + RPN only — d2's ``ProposalNetwork`` meta-arch, the
+    surface behind the reference evaluator's first-class "proposals"
+    task (ref afigan/evaluation/coco_evaluation.py:145-191,366-474).
+
+    Inference returns the RPNOutput (fixed post_nms_topk proposals +
+    objectness scores + validity); training returns the RPN losses.
+    """
+
+    backbone: nn.Module
+    rpn_in_features: Sequence[str] = ("p2", "p3", "p4", "p5", "p6")
+    rpn_strides: Sequence[int] = (4, 8, 16, 32, 64)
+    anchor_sizes: Sequence[Sequence[float]] = ((32,), (64,), (128,), (256,), (512,))
+    anchor_aspect_ratios: Sequence[Sequence[float]] = ((0.5, 1.0, 2.0),)
+    anchor_offset: float = 0.0
+    rpn_conv_dim: int = 256
+    rpn_iou_thresholds: Sequence[float] = (0.3, 0.7)
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    rpn_smooth_l1_beta: float = 0.0
+    rpn_loss_weight: float = 1.0
+    pre_nms_topk: int = 1000
+    post_nms_topk: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    rpn_approx_topk: bool = False  # TPU.APPROX_TOPK (training steps only)
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, image_sizes, gt: Optional[GroundTruth] = None):
+        mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
+        std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+        features = self.backbone(x.astype(self.dtype))
+
+        rpn_feats = [features[f] for f in self.rpn_in_features]
+        feature_shapes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
+        gen = AnchorGenerator(
+            sizes=[list(s) for s in self.anchor_sizes],
+            aspect_ratios=[list(a) for a in self.anchor_aspect_ratios],
+            strides=list(self.rpn_strides),
+            offset=self.anchor_offset,
+        )
+        anchors_per_level = gen(feature_shapes)
+        num_anchors = gen.num_anchors_per_location[0]
+
+        rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=self.rpn_conv_dim,
+                           dtype=self.dtype, name="proposal_generator")
+        logits_l, deltas_l = rpn_head(rpn_feats)
+        box2box = Box2BoxTransform(self.rpn_bbox_reg_weights)
+        proposals = generate_proposals(
+            anchors_per_level, logits_l, deltas_l, image_sizes, box2box,
+            self.pre_nms_topk, self.post_nms_topk, self.rpn_nms_thresh,
+            self.rpn_min_size, approx_topk=self.rpn_approx_topk,
+        )
+        if not self.train:
+            return proposals
+
+        assert gt is not None
+        anchors = jnp.concatenate(anchors_per_level, axis=0)
+        flat_logits = jnp.concatenate(
+            [l.reshape(l.shape[0], -1) for l in logits_l], axis=1
+        )
+        flat_deltas = jnp.concatenate(
+            [d.reshape(d.shape[0], -1, 4) for d in deltas_l], axis=1
+        )
+        key = self.make_rng("sampling")
+        keys = jax.random.split(key, images.shape[0])
+        matcher = Matcher(
+            list(self.rpn_iou_thresholds), [0, -1, 1],
+            allow_low_quality_matches=True,
+        )
+        labels, matched_idx = jax.vmap(
+            lambda k, gb, gv: label_anchors(
+                k, anchors, gb, gv, self.rpn_batch_size_per_image,
+                self.rpn_positive_fraction, matcher,
+            )
+        )(keys, gt.boxes, gt.valid)
+        losses = rpn_losses(
+            labels, matched_idx, gt.boxes, anchors, flat_logits,
+            flat_deltas, box2box, self.rpn_batch_size_per_image,
+            self.rpn_smooth_l1_beta,
+        )
+        return {k: v * self.rpn_loss_weight for k, v in losses.items()}
 
 
 class RCNN_FPN_only(nn.Module):

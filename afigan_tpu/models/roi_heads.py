@@ -50,6 +50,7 @@ class GroundTruth(NamedTuple):
     classes: jnp.ndarray  # (B, M) int32 in [0, C)
     valid: jnp.ndarray  # (B, M) bool
     masks: Optional[jnp.ndarray] = None  # (B, M, MH, MW) float canvases
+    keypoints: Optional[jnp.ndarray] = None  # (B, M, K, 3) [x, y, vis]
 
 
 class SampledProposals(NamedTuple):
@@ -117,6 +118,13 @@ class StandardROIHeads(nn.Module):
     mask_conv_dim: int = 256
     mask_norm: str = ""
     cls_agnostic_mask: bool = False
+    # keypoint branch (d2 KRCNNConvDeconvUpsampleHead, MODEL.KEYPOINT_ON)
+    keypoint_on: bool = False
+    keypoint_pooler_resolution: int = 14
+    keypoint_conv_dims: Tuple[int, ...] = (512,) * 8
+    num_keypoints: int = 17
+    keypoint_loss_weight: float = 1.0
+    keypoint_normalize_by_visible: bool = True
     # sampling
     batch_size_per_image: int = 512
     positive_fraction: float = 0.25
@@ -182,6 +190,10 @@ class StandardROIHeads(nn.Module):
         # GeneralizedRCNNWithTTA _rescale_detected_boxes semantics)
         if not self.train and given_dets is not None:
             masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
+            if self.keypoint_on:
+                given_dets = given_dets._replace(
+                    keypoints=self._keypoint_branch_infer(features, given_dets)
+                )
             return given_dets, masks
 
         box2box = Box2BoxTransform(self.bbox_reg_weights)
@@ -223,6 +235,10 @@ class StandardROIHeads(nn.Module):
                 losses["loss_mask"] = self._mask_branch_train(
                     features, sampled, gt
                 )
+            if self.keypoint_on:
+                losses["loss_keypoint"] = self._keypoint_branch_train(
+                    features, sampled, gt
+                )
             return losses
 
         # ---------------- inference ----------------
@@ -246,6 +262,10 @@ class StandardROIHeads(nn.Module):
         masks = None
         if self.mask_on:
             masks = self._mask_branch_infer(features, dets)
+        if self.keypoint_on:
+            dets = dets._replace(
+                keypoints=self._keypoint_branch_infer(features, dets)
+            )
         return dets, masks
 
     # ------------------------------------------------------------------
@@ -257,17 +277,22 @@ class StandardROIHeads(nn.Module):
             axis_name=self.axis_name, dtype=self.dtype, name="mask_head",
         )
 
-    def _mask_branch_train(self, features, sampled: SampledProposals, gt: GroundTruth):
-        """Foreground-only mask branch with a fixed fg capacity."""
-        b, s = sampled.gt_classes.shape
+    def _select_fg(self, sampled: SampledProposals):
+        """Top-k compaction of foreground rows to a fixed capacity
+        (shared by the mask and keypoint branches)."""
         max_fg = max(1, int(self.batch_size_per_image * self.positive_fraction))
         fg = sampled.valid & (sampled.gt_classes < self.num_classes)
-        # top-k compaction of fg rows per image
         _, fg_idx = jax.lax.top_k(fg.astype(jnp.int32), max_fg)
         fg_valid = jnp.take_along_axis(fg, fg_idx, axis=1)
         fg_boxes = jnp.take_along_axis(sampled.boxes, fg_idx[..., None], axis=1)
         fg_classes = jnp.take_along_axis(sampled.gt_classes, fg_idx, axis=1)
         fg_gt_idx = jnp.take_along_axis(sampled.gt_idx, fg_idx, axis=1)
+        return max_fg, fg_boxes, fg_classes, fg_gt_idx, fg_valid
+
+    def _mask_branch_train(self, features, sampled: SampledProposals, gt: GroundTruth):
+        """Foreground-only mask branch with a fixed fg capacity."""
+        b, s = sampled.gt_classes.shape
+        max_fg, fg_boxes, fg_classes, fg_gt_idx, fg_valid = self._select_fg(sampled)
 
         pooled = self._pool(features, fg_boxes, self.mask_pooler_resolution)
         flat = pooled.reshape(b * max_fg, *pooled.shape[2:])
@@ -282,6 +307,50 @@ class StandardROIHeads(nn.Module):
             mask_logits, targets.reshape(b * max_fg, out_size, out_size),
             fg_classes.reshape(-1), fg_valid.reshape(-1), self.num_classes,
         )
+
+    def _keypoint_head(self):
+        from .keypoint_head import KRCNNConvDeconvUpsampleHead
+
+        return KRCNNConvDeconvUpsampleHead(
+            num_keypoints=self.num_keypoints,
+            conv_dims=tuple(self.keypoint_conv_dims),
+            train=self.train, dtype=self.dtype, name="keypoint_head",
+        )
+
+    def _keypoint_branch_train(self, features, sampled: SampledProposals,
+                               gt: GroundTruth):
+        """Foreground keypoint branch (d2 keypoint_rcnn_loss). The d2
+        extra filter `select_proposals_with_visible_keypoints` is folded
+        into the loss's visibility mask (fixed shapes on TPU)."""
+        from .keypoint_head import keypoint_rcnn_loss
+
+        assert gt.keypoints is not None, "KEYPOINT_ON requires gt.keypoints"
+        b, s = sampled.gt_classes.shape
+        max_fg, fg_boxes, fg_classes, fg_gt_idx, fg_valid = self._select_fg(sampled)
+
+        pooled = self._pool(features, fg_boxes, self.keypoint_pooler_resolution)
+        flat = pooled.reshape(b * max_fg, *pooled.shape[2:])
+        logits = self._keypoint_head()(flat)
+
+        gt_kp = jax.vmap(lambda kp, gi: kp[gi])(gt.keypoints, fg_gt_idx)
+        return keypoint_rcnn_loss(
+            logits,
+            gt_kp.reshape(b * max_fg, self.num_keypoints, 3),
+            fg_boxes.reshape(b * max_fg, 4),
+            fg_valid.reshape(-1),
+            self.keypoint_normalize_by_visible,
+            self.keypoint_loss_weight,
+        )
+
+    def _keypoint_branch_infer(self, features, dets: Detections):
+        from .keypoint_head import heatmaps_to_keypoints
+
+        b, d = dets.scores.shape
+        pooled = self._pool(features, dets.boxes, self.keypoint_pooler_resolution)
+        flat = pooled.reshape(b * d, *pooled.shape[2:])
+        logits = self._keypoint_head()(flat)
+        kp = heatmaps_to_keypoints(logits, dets.boxes.reshape(b * d, 4))
+        return kp.reshape(b, d, self.num_keypoints, 3)
 
     def _mask_branch_infer(self, features, dets: Detections):
         b, d = dets.scores.shape

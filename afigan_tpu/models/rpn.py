@@ -146,8 +146,15 @@ def generate_proposals(
     post_nms_topk: int,
     nms_thresh: float,
     min_size: float = 0.0,
+    approx_topk: bool = False,
 ) -> RPNOutput:
-    """Fixed-shape d2 find_top_rpn_proposals."""
+    """Fixed-shape d2 find_top_rpn_proposals.
+
+    ``approx_topk``: use ``jax.lax.approx_max_k`` for the per-level
+    pre-NMS top-k (TPU-optimized PartialReduce, recall >= 0.95 of the
+    exact top-k). The missed entries are tail candidates that NMS would
+    almost surely drop anyway; enabled for TRAINING only (TPU.APPROX_TOPK)
+    so eval numerics stay exactly d2."""
     b = logits_per_level[0].shape[0]
     all_boxes, all_scores, all_levels, all_valid = [], [], [], []
     for lvl, (anch, lg, dl) in enumerate(
@@ -157,7 +164,10 @@ def generate_proposals(
         scores = jax.lax.stop_gradient(scores.astype(jnp.float32))
         deltas = jax.lax.stop_gradient(deltas.astype(jnp.float32))
         k = min(pre_nms_topk, scores.shape[1])
-        top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
+        if approx_topk and k < scores.shape[1]:
+            top_scores, top_idx = jax.lax.approx_max_k(scores, k)  # (B, k)
+        else:
+            top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
         top_deltas = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
         top_anchors = anch[top_idx]  # (B, k, 4)
         boxes = box2box.apply_deltas(top_deltas, top_anchors)

@@ -489,6 +489,26 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
              "kernel" if wb == "weight" else "bias"),
             t_conv if wb == "weight" else t_id,
         )
+
+    # ---- keypoint head (d2 KRCNNConvDeconvUpsampleHead) ----
+    m = re.match(r"^roi_heads\.keypoint_head\.conv_fcn(\d+)\.(weight|bias)$", k)
+    if m:
+        i, wb = m.groups()
+        return (
+            "params",
+            ("roi_heads", "keypoint_head", f"conv_fcn{i}", "conv",
+             "kernel" if wb == "weight" else "bias"),
+            t_conv if wb == "weight" else t_id,
+        )
+    m = re.match(r"^roi_heads\.keypoint_head\.score_lowres\.(weight|bias)$", k)
+    if m:
+        wb = m.group(1)
+        return (
+            "params",
+            ("roi_heads", "keypoint_head", "score_lowres",
+             "kernel" if wb == "weight" else "bias"),
+            t_deconv if wb == "weight" else t_id,
+        )
     return None
 
 

@@ -16,6 +16,7 @@ import jax
 from afigan_tpu.data import get_dataset, register_default_datasets
 from afigan_tpu.engine.defaults import default_argument_parser, setup
 from afigan_tpu.engine.inference import run_inference
+from afigan_tpu.engine.testing import verify_results
 from afigan_tpu.engine.tta import run_tta_inference
 from afigan_tpu.engine.weights import load_weights
 from afigan_tpu.models import build_model
@@ -58,6 +59,7 @@ def main(args):
     else:
         results = run_inference(cfg, model, variables, dataset)
     print(results)
+    verify_results(cfg, results)  # ref run_net.py:100-101
     return results
 
 

@@ -12,7 +12,16 @@ import os
 import numpy as np
 
 
-def make_tiny_coco(root: str, num_images: int = 4, hw=(96, 128), num_classes: int = 3):
+COCO_KP_NAMES = [
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+]
+
+
+def make_tiny_coco(root: str, num_images: int = 4, hw=(96, 128),
+                   num_classes: int = 3, keypoints: bool = False):
     from PIL import Image
 
     img_dir = os.path.join(root, "images")
@@ -33,25 +42,40 @@ def make_tiny_coco(root: str, num_images: int = 4, hw=(96, 128), num_classes: in
             x = float(rng.randint(0, w - int(bw) - 1))
             y = float(rng.randint(0, h - int(bh) - 1))
             poly = [x, y, x + bw, y, x + bw, y + bh, x, y + bh]
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": i + 1,
-                    "category_id": int(rng.randint(1, num_classes + 1)),
-                    "bbox": [x, y, bw, bh],
-                    "area": bw * bh,
-                    "iscrowd": 0,
-                    "segmentation": [poly],
-                }
-            )
+            ann = {
+                "id": ann_id,
+                "image_id": i + 1,
+                "category_id": int(rng.randint(1, num_classes + 1)),
+                "bbox": [x, y, bw, bh],
+                "area": bw * bh,
+                "iscrowd": 0,
+                "segmentation": [poly],
+            }
+            if keypoints:
+                kps = []
+                nk = len(COCO_KP_NAMES)
+                for _k in range(nk):
+                    kx = x + rng.rand() * bw
+                    ky = y + rng.rand() * bh
+                    vis = int(rng.randint(0, 3))  # 0/1/2 like COCO
+                    kps += [float(kx), float(ky), vis]
+                ann["keypoints"] = kps
+                ann["num_keypoints"] = sum(
+                    1 for v in kps[2::3] if v > 0
+                )
+            annotations.append(ann)
             ann_id += 1
 
+    categories = [
+        {"id": c + 1, "name": f"class{c}"} for c in range(num_classes)
+    ]
+    if keypoints:
+        for c in categories:
+            c["keypoints"] = COCO_KP_NAMES
     coco = {
         "images": images,
         "annotations": annotations,
-        "categories": [
-            {"id": c + 1, "name": f"class{c}"} for c in range(num_classes)
-        ],
+        "categories": categories,
     }
     json_path = os.path.join(root, "instances.json")
     with open(json_path, "w") as f:

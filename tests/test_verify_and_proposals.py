@@ -1,0 +1,137 @@
+"""TEST.EXPECTED_RESULTS verification + ProposalNetwork proposal-AR eval.
+
+Round-3 closure of the two orphaned surfaces the round-2 VERDICT flagged:
+``verify_results`` (ref run_net.py:100-101, stage1_trainer.py:296-301)
+and the evaluator's first-class "proposals" task
+(ref afigan/evaluation/coco_evaluation.py:145-191,366-474).
+"""
+
+import numpy as np
+import pytest
+
+from afigan_tpu.config import get_cfg
+from afigan_tpu.engine.testing import verify_results
+from tests.fixtures import make_tiny_coco
+
+
+def _cfg_with_expected(rows):
+    cfg = get_cfg()
+    cfg.TEST.EXPECTED_RESULTS = rows
+    return cfg
+
+
+def test_verify_results_pass():
+    cfg = _cfg_with_expected([["bbox", "AP", 38.5, 0.5]])
+    assert verify_results(cfg, {"bbox": {"AP": 38.7}})
+
+
+def test_verify_results_empty_is_noop():
+    cfg = _cfg_with_expected([])
+    assert verify_results(cfg, {"bbox": {"AP": 0.0}})
+
+
+def test_verify_results_fail_raises():
+    cfg = _cfg_with_expected([["bbox", "AP", 38.5, 0.2]])
+    with pytest.raises(RuntimeError, match="bbox/AP"):
+        verify_results(cfg, {"bbox": {"AP": 12.0}})
+
+
+def test_verify_results_missing_metric_raises():
+    cfg = _cfg_with_expected([["segm", "AP", 30.0, 0.2]])
+    with pytest.raises(RuntimeError, match="missing"):
+        verify_results(cfg, {"bbox": {"AP": 30.0}})
+
+
+def test_verify_results_nan_raises():
+    cfg = _cfg_with_expected([["bbox", "AP", 30.0, 1e9]])
+    with pytest.raises(RuntimeError):
+        verify_results(cfg, {"bbox": {"AP": float("nan")}})
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from afigan_tpu.data import register_coco_instances, get_dataset
+
+    root = tmp_path_factory.mktemp("proposal_coco")
+    json_path, img_dir = make_tiny_coco(str(root), num_images=2, hw=(64, 96))
+    register_coco_instances("tiny_proposals", json_path, img_dir)
+    return get_dataset("tiny_proposals")
+
+
+def _tiny_proposal_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "ProposalNetwork"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_sr_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+    cfg.MODEL.AFI.IN_CHANNELS = 16
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_BUCKETS = [[64, 96]]
+    return cfg
+
+
+def test_proposal_network_eval(tiny_dataset):
+    """ProposalNetwork builds, runs, and produces AR@{100,1000} metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.engine.inference import run_inference
+    from afigan_tpu.models import build_model
+
+    cfg = _tiny_proposal_cfg()
+    model = build_model(cfg, train=False)
+    h, w = cfg.TPU.IMAGE_BUCKETS[0]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32),
+    )
+    results = run_inference(cfg, model, variables, tiny_dataset)
+    assert "box_proposals" in results
+    res = results["box_proposals"]
+    for k in ("AR@100", "AR@1000", "ARs@100", "ARm@100", "ARl@100"):
+        assert k in res, sorted(res)
+        assert 0.0 <= res[k] <= 100.0
+    # verify_results consumes the proposals task end-to-end
+    cfg2 = _cfg_with_expected(
+        [["box_proposals", "AR@100", res["AR@100"], 1e-6]]
+    )
+    assert verify_results(cfg2, results)
+
+
+def test_proposal_network_train_losses(tiny_dataset):
+    """Training mode returns RPN losses (finite, differentiable surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.models import build_model
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    cfg = _tiny_proposal_cfg()
+    model = build_model(cfg, train=True)
+    h, w = 64, 96
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[4.0, 4.0, 40.0, 40.0], [10.0, 20.0, 60.0, 50.0]]]),
+        classes=jnp.zeros((1, 2), jnp.int32),
+        valid=jnp.ones((1, 2), bool),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32), gt,
+    )
+    losses = model.apply(
+        variables, jnp.ones((1, h, w, 3)) * 127.0,
+        jnp.asarray([[h, w]], jnp.int32), gt,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+    )
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
