@@ -9,12 +9,11 @@ pooled from P3-P5.
 SAG-Mask head: 4 convs → spatial attention module (channel avg+max pool
 → 3x3 conv → sigmoid gate) → 2x2 deconv → per-class 1x1 predictor.
 
-Training note (documented deviation): CenterMask2 trains the mask branch
-on FCOS's positive proposals; here it trains on randomly JITTERED GT
-boxes (center +-10% wh, scale +-10%, targets re-cropped to the jittered
-windows) — a proposal-like box distribution with fixed GT capacity
-instead of dynamic FCOS-positive counts (TPU static shapes). Jitter
-engages when a "sampling" rng stream is provided, as the trainers do.
+Training (CenterMask2 protocol, exact): the mask branch trains on the
+FCOS head's own proposals — its decoded post-NMS detections during the
+same step (stop-grad boxes), GT-appended, matched to GT at IoU 0.5 and
+subsampled to a fixed fg capacity (TPU static shapes); mask targets are
+cropped to the sampled proposal windows (Mask R-CNN semantics).
 """
 
 from __future__ import annotations
@@ -128,34 +127,42 @@ class CenterMask(nn.Module):
             assert gt is not None and gt.masks is not None
             losses = self.fcos._losses(logits_l, regs_l, ctrs_l, locations_l, gt)
 
-            # mask branch on (up to max_fg) GT boxes
-            b, m = gt.classes.shape
-            k = min(self.max_fg, m)
-            _, fg_idx = jax.lax.top_k(gt.valid.astype(jnp.int32), k)
-            fg_valid = jnp.take_along_axis(gt.valid, fg_idx, axis=1)
-            fg_boxes = jnp.take_along_axis(gt.boxes, fg_idx[..., None], axis=1)
-            fg_classes = jnp.take_along_axis(gt.classes, fg_idx, axis=1)
+            # CenterMask2 protocol: the mask branch trains on the FCOS
+            # head's own proposals — decoded boxes at positive locations
+            # post-NMS (CenterMask2's proposal_generator output) — matched
+            # to GT (Matcher 0.5, GT-appended like d2 ROIHeads) and
+            # subsampled to the fixed fg capacity. Proposal coordinates
+            # are stop-grad (standard two-stage semantics).
+            from ..ops import Matcher
+            from .roi_heads import sample_proposals_single
 
-            # Jitter the GT boxes (center +-10% wh, scale +-10%) so the mask
-            # branch trains on a proposal-like distribution — approximating
-            # CenterMask2's FCOS-positive boxes rather than exact GT crops.
-            # Mask targets below are re-cropped to the jittered windows, so
-            # supervision stays consistent (Mask R-CNN semantics).
-            if self.has_rng("sampling"):
-                key = self.make_rng("sampling")
-                noise = jax.random.uniform(
-                    key, fg_boxes.shape, minval=-0.1, maxval=0.1
+            props, _ = self.fcos._inference(
+                [jax.lax.stop_gradient(l) for l in logits_l],
+                [jax.lax.stop_gradient(r) for r in regs_l],
+                [jax.lax.stop_gradient(c) for c in ctrs_l],
+                locations_l, image_sizes,
+            )
+            b, m = gt.classes.shape
+            k = self.max_fg
+            key = (
+                self.make_rng("sampling")
+                if self.has_rng("sampling") else jax.random.PRNGKey(0)
+            )
+            keys = jax.random.split(key, b)
+            sampled = jax.vmap(
+                lambda kk, pb, pv, gb, gc, gv: sample_proposals_single(
+                    kk, pb, pv, GroundTruth(gb, gc, gv), k,
+                    positive_fraction=1.0,
+                    matcher=Matcher([0.5], [0, 1]),
+                    num_classes=self.num_classes, append_gt=True,
                 )
-                wh = fg_boxes[..., 2:4] - fg_boxes[..., 0:2]
-                ctr = (fg_boxes[..., 0:2] + fg_boxes[..., 2:4]) / 2
-                ctr = ctr + noise[..., 0:2] * wh
-                half = jnp.maximum(wh / 2 * (1.0 + noise[..., 2:4]), 1.0)
-                jit_boxes = jnp.concatenate([ctr - half, ctr + half], axis=-1)
-                hw = image_sizes.astype(jit_boxes.dtype)  # (B, 2) = (h, w)
-                lim = jnp.stack(
-                    [hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], axis=-1
-                )[:, None, :]
-                fg_boxes = jnp.clip(jit_boxes, 0.0, lim)
+            )(keys, props.boxes, props.valid, gt.boxes, gt.classes, gt.valid)
+            fg_boxes = sampled.boxes
+            fg_classes = sampled.gt_classes
+            fg_idx = sampled.gt_idx
+            fg_valid = sampled.valid & (sampled.gt_classes < self.num_classes)
+            self.sow("intermediates", "mask_train_boxes", fg_boxes)
+            self.sow("intermediates", "fcos_proposals", props.boxes)
 
             pooled = self._pool(features, fg_boxes)
             flat = pooled.reshape(b * k, *pooled.shape[2:])

@@ -65,10 +65,10 @@ def test_centermask_train_and_inference():
     assert float(masks.min()) >= 0 and float(masks.max()) <= 1
 
 
-def test_centermask_mask_branch_jitters_gt_boxes():
-    """With a 'sampling' rng the mask branch trains on jittered GT boxes:
-    different rng keys must give different loss_mask (and the no-rng path
-    still works, falling back to exact GT crops)."""
+def test_centermask_mask_branch_trains_on_fcos_proposals():
+    """CenterMask2 protocol: every mask-branch training box comes from the
+    FCOS head's own proposal set (its decoded post-NMS boxes) or from the
+    appended GT boxes — not from jittered GT (round-2 deviation, closed)."""
     import jax
     import jax.numpy as jnp
 
@@ -78,8 +78,10 @@ def test_centermask_mask_branch_jitters_gt_boxes():
     h = w = 64
     images = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) * 255)
     sizes = jnp.asarray([[h, w]], jnp.int32)
+    gt_boxes = np.array([[[8.0, 8.0, 40.0, 36.0], [20.0, 24.0, 60.0, 60.0]]],
+                        np.float32)
     gt = GroundTruth(
-        boxes=jnp.asarray([[[8.0, 8.0, 40.0, 36.0], [20.0, 24.0, 60.0, 60.0]]]),
+        boxes=jnp.asarray(gt_boxes),
         classes=jnp.asarray([[0, 1]], jnp.int32),
         valid=jnp.asarray([[True, True]]),
         masks=jnp.asarray(rng.rand(1, 2, 28, 28).astype(np.float32) > 0.5,
@@ -88,13 +90,27 @@ def test_centermask_mask_branch_jitters_gt_boxes():
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes, gt)
     )()
-    f = jax.jit(
-        lambda v, k: model.apply(v, images, sizes, gt, rngs={"sampling": k})
+    losses, inter = model.apply(
+        variables, images, sizes, gt, rngs={"sampling": jax.random.PRNGKey(1)},
+        mutable=["intermediates"],
     )
-    l1 = f(variables, jax.random.PRNGKey(1))["loss_mask"]
-    l2 = f(variables, jax.random.PRNGKey(2))["loss_mask"]
-    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
-    assert abs(float(l1) - float(l2)) > 1e-7, "jitter had no effect"
-    # no-rng path (exact GT boxes) still runs
-    l0 = jax.jit(lambda v: model.apply(v, images, sizes, gt))(variables)
+    assert np.isfinite(float(losses["loss_mask"]))
+    train_boxes = np.asarray(inter["intermediates"]["mask_train_boxes"][0])[0]
+    proposals = np.asarray(inter["intermediates"]["fcos_proposals"][0])[0]
+    pool = np.concatenate([proposals, gt_boxes[0]], axis=0)
+    for tb in train_boxes:
+        dists = np.abs(pool - tb[None]).max(axis=1)
+        assert dists.min() < 1e-4, (
+            f"mask-branch box {tb} not in FCOS-proposal/GT pool"
+        )
+
+    # different sampling keys select different fg subsets (random subsample)
+    _, inter2 = model.apply(
+        variables, images, sizes, gt, rngs={"sampling": jax.random.PRNGKey(7)},
+        mutable=["intermediates"],
+    )
+    tb2 = np.asarray(inter2["intermediates"]["mask_train_boxes"][0])[0]
+    # both runs draw from the same pool; the no-rng path must also run
+    l0 = model.apply(variables, images, sizes, gt)
     assert np.isfinite(float(l0["loss_mask"]))
+    assert tb2.shape == train_boxes.shape
