@@ -15,7 +15,8 @@ axes later without touching call sites.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import itertools
+from typing import List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -52,14 +53,103 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the leading dim sharded over `data`."""
+    """Place a host batch pytree with the leading dim sharded over `data`.
+
+    Single-process: a plain device_put onto the sharded layout. Multi-
+    process: each host holds only ITS shard of the global batch (the
+    loaders stripe records per process), so the global array is assembled
+    from per-process local data — the jax equivalent of d2's per-rank
+    IMS_PER_BATCH/world_size split (ref stage1_trainer.py:577-589).
+    """
     s = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(mesh: Mesh, tree):
+    """Fully replicate a host pytree over the mesh.
+
+    Multi-process: assembled collective-FREE from per-process local
+    buffers via ``make_array_from_single_device_arrays``. A plain
+    ``device_put`` to a cross-process sharding runs a Gloo/``assert_equal``
+    consistency collective per leaf with a hard ~30 s rendezvous — rank
+    skew (imports, compiles) routinely exceeds that and deadlocks the
+    job. Callers guarantee every process passes the same values (states
+    are derived from the same PRNG seed / checkpoint), which is exactly
+    the contract device_put was re-verifying.
+    """
     r = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+
+    def put(x):
+        x = np.asarray(x)
+        bufs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, r, bufs)
+
+    return jax.tree.map(put, tree)
+
+
+def _coord_client():
+    """The jax coordination-service client (requires distributed init)."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    assert client is not None, "jax.distributed.initialize() was not called"
+    return client
+
+
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Cross-process rendezvous via the coordination service.
+
+    Unlike Gloo collectives (hard ~30 s window), the timeout here is
+    explicit and generous — use it to line ranks up immediately before
+    executing a collective-bearing program so compile-time skew never
+    lands inside a Gloo rendezvous.
+    """
+    if jax.process_count() == 1:
+        return
+    _coord_client().wait_at_barrier(f"afigan/barrier/{name}", timeout_s * 1000)
+
+
+_KV_SEQ = itertools.count()
+
+
+def kv_allgather_bytes(payload: bytes, tag: str = "ag",
+                       timeout_s: int = 600) -> List[bytes]:
+    """Gather one bytes payload per process via the coordination-service
+    KV store (d2 ``comm.gather`` equivalent for host-side objects).
+
+    Skew-immune by construction: each rank publishes its key then
+    blocking-reads the others with an explicit long timeout — no Gloo
+    rendezvous anywhere. Calls must be SPMD (same sequence on every
+    process); the module-level sequence number keeps keys unique per
+    call.
+    """
+    n, i = jax.process_count(), jax.process_index()
+    if n == 1:
+        return [payload]
+    client = _coord_client()
+    base = f"afigan/kv/{tag}/{next(_KV_SEQ)}"
+    client.key_value_set_bytes(f"{base}/{i}", payload)
+    out = [
+        client.blocking_key_value_get_bytes(f"{base}/{j}", timeout_s * 1000)
+        for j in range(n)
+    ]
+    # everyone has read every key before rank 0 may clean up
+    client.wait_at_barrier(f"{base}/done", timeout_s * 1000)
+    if i == 0:
+        try:
+            client.key_value_delete(f"{base}/")
+        except Exception:  # pragma: no cover - cleanup best-effort
+            pass
+    return out
 
 
 def initialize_distributed():
@@ -85,7 +175,7 @@ def cross_process_max(value: float) -> float:
     """
     if jax.process_count() == 1:
         return float(value)
-    from jax.experimental import multihost_utils
+    import struct
 
-    gathered = multihost_utils.process_allgather(np.asarray([value], np.float32))
-    return float(np.max(gathered))
+    bufs = kv_allgather_bytes(struct.pack("<d", float(value)), tag="hostmax")
+    return max(struct.unpack("<d", b)[0] for b in bufs)
