@@ -8,7 +8,9 @@ rows of the README table are box AP with multi-scale testing).
 
 TPU note: every (scale, flip) pair is its own static shape → its own
 compiled executable; shapes repeat across the dataset so each compiles
-once. Masks are produced by the base-scale forward on merged boxes.
+once. Mask probabilities are averaged over every (scale, flip) forward on
+the merged boxes (d2 GeneralizedRCNNWithTTA semantics — see
+``averaged_tta_masks`` below).
 """
 
 from __future__ import annotations

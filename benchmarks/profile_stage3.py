@@ -1,0 +1,192 @@
+"""Attribute stage-3 train-step time to subsystems (round-3 perf work).
+
+The stage-3 step runs at ~23% MXU utilization (2.79 TFLOP/img at ~16
+img/s vs 197 bf16 TFLOP/s peak) — most wall time is NOT matmul. This
+script times a ladder of ablated jit programs on the real chip to find
+where it goes:
+
+  full          — the production stage-3 train step
+  fwd_only      — loss computation without value_and_grad (backward cost)
+  no_mask       — MASK_ON=False (mask branch cost)
+  rpn_only_loss — detector loss with ROI heads replaced by a cheap sum
+                  (ROI-heads cost: sampling+pooling+box/mask heads)
+  backbone_only — backbone+FPN with a scalar loss (RPN machinery cost:
+                  head convs, top-k, NMS, anchor matching, sampling)
+
+Run:   python benchmarks/profile_stage3.py            (all ladder steps)
+       PROF_ONLY=full,no_mask python ...              (subset)
+Timing is chained (each step feeds the next) — the only honest timing on
+the axon backend (see verify skill).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from afigan_tpu.config import get_cfg
+from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
+from afigan_tpu.engine.solver import build_optimizer
+from afigan_tpu.models import build_model
+from afigan_tpu.models.roi_heads import GroundTruth
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+H, W = 800, 1344
+MAX_GT = 64
+
+
+def make_data():
+    rng = np.random.RandomState(0)
+    num_boxes = 12
+    boxes = np.zeros((BATCH, MAX_GT, 4), np.float32)
+    valid = np.zeros((BATCH, MAX_GT), bool)
+    for i in range(BATCH):
+        xy = rng.rand(num_boxes, 2) * [W - 100, H - 100]
+        wh = rng.rand(num_boxes, 2) * 180 + 20
+        boxes[i, :num_boxes] = np.concatenate([xy, xy + wh], 1)
+        valid[i, :num_boxes] = True
+    return {
+        "image": jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.asarray([[H, W]] * BATCH, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(
+                rng.randint(0, 80, size=(BATCH, MAX_GT)).astype(np.int32)
+            ),
+            valid=jnp.asarray(valid),
+            masks=jnp.asarray(rng.rand(BATCH, MAX_GT, 28, 28).astype(np.float32)),
+        ),
+    }
+
+
+def base_cfg():
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
+    cfg.MODEL.AFI_FREEZE = False
+    return cfg
+
+
+def timed(name, fn, *args):
+    """Chained timing: run fn ITERS times reusing its own output state.
+
+    The production step donates its state arg, so the warmup's input is
+    INVALID afterwards — always carry the state forward from the outputs,
+    never reuse args[0]."""
+    out = fn(*args)  # compile + warmup; fn ALWAYS returns (new_state, aux)
+    jax.device_get(jax.tree.leaves(out)[0])
+    state = out[0]
+    best = None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(ITERS):
+            o = fn(state, *args[1:])
+            state = o[0]
+        jax.device_get(jax.tree.leaves(o)[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{name:>14}: {best/ITERS*1000:8.2f} ms/step  "
+          f"{BATCH*ITERS/best:7.2f} img/s", flush=True)
+    return best / ITERS
+
+
+def main():
+    only = os.environ.get("PROF_ONLY", "").split(",") if os.environ.get("PROF_ONLY") else None
+    data = make_data()
+    results = {}
+
+    def want(name):
+        return only is None or name in only
+
+    cfg = base_cfg()
+
+    if want("full"):
+        state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(H, W),
+                                  max_gt=MAX_GT)
+        step = make_stage3_train_step(cfg)
+        key = jax.random.PRNGKey(1)
+        results["full"] = timed("full", lambda s, d: step(s, d, key), state, data)
+        del state, step
+
+    if want("no_mask"):
+        cfg2 = base_cfg()
+        cfg2.MODEL.MASK_ON = False
+        state = init_stage3_state(cfg2, jax.random.PRNGKey(0), sample_hw=(H, W),
+                                  max_gt=MAX_GT)
+        step = make_stage3_train_step(cfg2)
+        key = jax.random.PRNGKey(1)
+        d2 = dict(data)
+        d2["gt"] = data["gt"]._replace(masks=None)
+        results["no_mask"] = timed("no_mask", lambda s, d: step(s, d, key),
+                                   state, d2)
+        del state, step
+
+    if want("fwd_only"):
+        det = build_model(cfg, train=True)
+        state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(H, W),
+                                  max_gt=MAX_GT)
+        key = jax.random.PRNGKey(1)
+
+        params = state.params
+
+        @jax.jit
+        def fwd(image, d):
+            # chained via the image (axon: independent calls overlap and
+            # report impossible timings — each call must consume the
+            # previous output)
+            losses = det.apply({"params": params}, image, d["image_sizes"],
+                               d["gt"], rngs={"sampling": key})
+            loss = sum(jax.tree.leaves(losses))
+            return image + loss * 0.0, loss
+
+        results["fwd_only"] = timed("fwd_only", fwd, data["image"], data)
+        del state
+
+    if want("backbone_only"):
+        det = build_model(cfg, train=True)
+        state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(H, W),
+                                  max_gt=MAX_GT)
+        tx, _ = build_optimizer(cfg, state.params, [])
+        opt = tx.init(state.params)
+        backbone = det.backbone
+
+        @jax.jit
+        def bb_step(carry, d):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                feats = backbone.apply({"params": p["backbone"]}, d["image"])
+                return sum(jnp.sum(f.astype(jnp.float32)) * 1e-9
+                           for f in feats.values())
+
+            g = jax.grad(loss_fn)(params)
+            updates, new_opt = tx.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt), 0
+
+        results["backbone_only"] = timed(
+            "backbone_only", lambda c, d: bb_step(c, d), (state.params, opt), data
+        )
+        del state
+
+    if results.get("full") and results.get("fwd_only"):
+        print(f"\nbackward share: "
+              f"{(results['full'] - results['fwd_only']) / results['full']:.1%}")
+    if results.get("full") and results.get("no_mask"):
+        print(f"mask-branch share: "
+              f"{(results['full'] - results['no_mask']) / results['full']:.1%}")
+    if results.get("full") and results.get("backbone_only"):
+        print(f"backbone(+opt) share: "
+              f"{results['backbone_only'] / results['full']:.1%}")
+
+
+if __name__ == "__main__":
+    main()
