@@ -127,6 +127,38 @@ class AFIGenerator(nn.Module):
         init = kaiming_normal_scaled(0.1)
         skip = bilinear_upsample_x2(x.astype(jnp.float32)).astype(self.dtype)
 
+        if self.fused and not self.is_initializing() and self.n_rdb == 3:
+            # Whole-generator two-kernel pipeline: ONE chain kernel
+            # (head + 3 RDBs + RiR residual, ops/pallas/afi_chain.py)
+            # + ONE conv-upsample kernel — 2 custom calls instead of the
+            # round-2 four. Params are the ones the unfused path creates
+            # (init always traces unfused).
+            from ...ops.pallas import fused_generator_chain, fused_upsample
+
+            p = self.variables["params"]
+            rir = p["generators_0/rir"]
+            rdb_ws = [
+                [rir[f"rdb{i}"][f"conv{j + 1}"]["conv"]["kernel"]
+                 for j in range(5)]
+                for i in range(self.n_rdb)
+            ]
+            xd = x.astype(self.dtype)
+            r = fused_generator_chain(
+                xd,
+                p["generators_0/head"]["conv"]["kernel"],
+                p["generators_0/head"]["conv"]["bias"],
+                rdb_ws, self.residual_scale,
+            ).astype(self.dtype)
+            return fused_upsample(
+                r, xd,
+                p["generators_0/mid"]["conv"]["kernel"],
+                p["generators_0/mid"]["conv"]["bias"],
+                p["generators_0/up"]["kernel"],
+                p["generators_0/up"]["bias"],
+                p["generators_0/tail"]["conv"]["kernel"],
+                p["generators_0/tail"]["conv"]["bias"],
+            ).astype(self.dtype)
+
         # Param subtree named to mirror the reference's Generators[0] stack.
         y = x.astype(self.dtype)
         y = leaky_relu02(

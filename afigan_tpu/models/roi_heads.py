@@ -30,6 +30,7 @@ from ..ops import (
 )
 from ..ops.roi_align import (
     multilevel_roi_align_fast,
+    multilevel_roi_align_pallas,
     multilevel_roi_align_windowed,
 )
 from .box_head import (
@@ -137,10 +138,11 @@ class StandardROIHeads(nn.Module):
     # pooling
     sampling_ratio: int = 2
     aligned: bool = True  # POOLER_TYPE ROIAlignV2
-    # "fast": windowed-matmul forward + point-scatter custom-VJP backward
-    # (fastest measured on TPU both ways); "windowed": autodiff through the
-    # windowed form; "gather": per-sample-point gather (reference form)
-    pooler_impl: str = "fast"
+    # "pallas": fused window-DMA + MXU kernel fwd, dense-matmul bwd;
+    # "fast": windowed-matmul forward + point-scatter custom-VJP backward;
+    # "windowed": autodiff through the windowed form; "gather":
+    # per-sample-point gather (reference form)
+    pooler_impl: str = "pallas"
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -148,6 +150,11 @@ class StandardROIHeads(nn.Module):
     def _pool(self, features, boxes, resolution):
         """features: dict of (B,H,W,C); boxes (B,R,4) -> (B,R,P,P,C)."""
         feats = [features[f] for f in self.in_features]
+        if self.pooler_impl == "pallas":
+            return multilevel_roi_align_pallas(
+                tuple(feats), boxes, tuple(self.strides), resolution,
+                self.sampling_ratio, self.aligned,
+            )
         if self.pooler_impl == "fast":
             return jax.vmap(lambda *a: multilevel_roi_align_fast(
                 tuple(a[:-1]), a[-1], tuple(self.strides), resolution,

@@ -515,3 +515,283 @@ def _fast_bwd(strides, output_size, sampling_ratio, aligned, canonical_size,
 
 
 multilevel_roi_align_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas pooler: batched window DMA + MXU interpolation, dense bwd
+# ---------------------------------------------------------------------------
+
+def _pallas_axis_matrix(coords, size, win_start, window, p, s):
+    """(N, P*S) abs coords -> (N, P, window) interp matrix + max rel coord.
+
+    Same numerics as the windowed pooler's axis_matrix (d2 border
+    handling: outside [-1, size] -> zero weight, else clamp to border).
+    """
+    n = coords.shape[0]
+    valid = (coords >= -1.0) & (coords <= size[:, None].astype(coords.dtype))
+    cl = jnp.clip(coords, 0.0, None)
+    cl = jnp.minimum(cl, (size[:, None] - 1).astype(coords.dtype))
+    rel = cl - win_start[:, None].astype(coords.dtype)
+    k = jnp.arange(window, dtype=coords.dtype)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - k[None, None, :]))
+    a = a * valid[:, :, None]
+    a = a.reshape(n, p, s, window)
+    return jnp.mean(a, axis=2), jnp.max(rel, axis=1)
+
+
+def _pallas_pool_geometry(features, boxes, strides, output_size,
+                          sampling_ratio, aligned, canonical_size,
+                          canonical_level):
+    """Shared prologue: level routing, window starts, sample coords.
+
+    features: list of (B, H_l, W_l, C); boxes: (B, R, 4).
+    Returns a dict of flattened (N = B*R) per-ROI geometry plus the
+    static layout (pad_h, row_base, wmax, win_r, win_c).
+    """
+    b, _, _, c = features[0].shape
+    r = boxes.shape[1]
+    p = output_size
+    s = sampling_ratio
+    heights = np.array([f.shape[1] for f in features], dtype=np.int32)
+    widths = np.array([f.shape[2] for f in features], dtype=np.int32)
+    top_extent = max(int(heights[-1]), int(widths[-1])) + 2
+    window = int(np.ceil(max(48, top_extent) / 8) * 8)
+    # +8 on BOTH axes: window starts are rounded down to multiples of 8
+    # (Mosaic must prove tile alignment of the DMA slice; rows are the
+    # sublane dim of the merged (totalH, Wmax*C) layout) and the slack
+    # absorbs the round-down.
+    win_r = window + 8
+    win_c = window + 8
+    wmax = max(int(widths.max()), win_c)
+    # pad_h multiples of 8 keep every level's (and image's) row base —
+    # hence every aligned window start — provably 8-aligned.
+    pad_h = (np.maximum(heights, win_r) + 7) // 8 * 8
+    row_base = np.concatenate([[0], np.cumsum(pad_h)])[:-1].astype(np.int32)
+    sumh = int(pad_h.sum())
+
+    flat_boxes = boxes.reshape(b * r, 4)
+    min_level = int(np.log2(strides[0]))
+    levels = assign_boxes_to_levels(
+        flat_boxes, min_level, min_level + len(features) - 1,
+        canonical_size, canonical_level,
+    )
+    scales = jnp.asarray([1.0 / st for st in strides], flat_boxes.dtype)[levels]
+    lvl_h = jnp.asarray(heights)[levels]
+    lvl_w = jnp.asarray(widths)[levels]
+    lvl_base = jnp.asarray(row_base)[levels]
+
+    offset = 0.5 if aligned else 0.0
+    x1 = flat_boxes[:, 0] * scales - offset
+    y1 = flat_boxes[:, 1] * scales - offset
+    x2 = flat_boxes[:, 2] * scales - offset
+    y2 = flat_boxes[:, 3] * scales - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    grid = (
+        jnp.arange(p, dtype=flat_boxes.dtype)[:, None]
+        + (jnp.arange(s, dtype=flat_boxes.dtype)[None, :] + 0.5) / s
+    ).reshape(-1)
+    ys = y1[:, None] + grid[None, :] * (roi_h / p)[:, None]  # (N, P*S)
+    xs = x1[:, None] + grid[None, :] * (roi_w / p)[:, None]
+
+    wy = jnp.clip(
+        jnp.floor(jnp.min(ys, axis=1)).astype(jnp.int32) - 1,
+        0, jnp.maximum(lvl_h - win_r, 0),
+    )
+    wx = jnp.clip(
+        jnp.floor(jnp.min(xs, axis=1)).astype(jnp.int32) - 1,
+        0, jnp.maximum(lvl_w - win_c, 0),
+    )
+    # round starts down to multiples of 8 (DMA tile alignment; the +8
+    # window slack absorbs the shift — weights are relative to the
+    # rounded start, so the math is unchanged)
+    wy = (wy // 8) * 8
+    wx = (wx // 8) * 8
+
+    return dict(
+        b=b, r=r, c=c, p=p, s=s, sumh=sumh, wmax=wmax,
+        win_r=win_r, win_c=win_c, pad_h=pad_h, row_base=row_base,
+        heights=heights, widths=widths,
+        ys=ys, xs=xs, lvl_h=lvl_h, lvl_w=lvl_w, lvl_base=lvl_base,
+        wy=wy, wx=wx,
+    )
+
+
+def _pallas_concat2(features, geo):
+    b, c, wmax = geo["b"], geo["c"], geo["wmax"]
+    concat = jnp.concatenate(
+        [
+            jnp.pad(f, ((0, 0), (0, int(ph) - f.shape[1]),
+                        (0, wmax - f.shape[2]), (0, 0)))
+            for f, ph in zip(features, geo["pad_h"])
+        ],
+        axis=1,
+    )  # (B, sumH, Wmax, C)
+    return concat.reshape(b * geo["sumh"], wmax * c)
+
+
+def _pallas_pool_forward(features, boxes, strides, output_size,
+                         sampling_ratio, aligned, canonical_size,
+                         canonical_level, overflow_slots, interpret):
+    from .pallas.roi_pool import fused_window_pool
+
+    geo = _pallas_pool_geometry(
+        features, boxes, strides, output_size, sampling_ratio, aligned,
+        canonical_size, canonical_level,
+    )
+    b, r, c, p = geo["b"], geo["r"], geo["c"], geo["p"]
+    win_r, win_c = geo["win_r"], geo["win_c"]
+    dtype = features[0].dtype
+
+    ry, max_rel_y = _pallas_axis_matrix(
+        geo["ys"], geo["lvl_h"], geo["wy"], win_r, p, geo["s"])
+    rx, max_rel_x = _pallas_axis_matrix(
+        geo["xs"], geo["lvl_w"], geo["wx"], win_c, p, geo["s"])
+
+    concat2 = _pallas_concat2(features, geo)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    rows_abs = img_idx * geo["sumh"] + geo["lvl_base"] + geo["wy"]
+
+    out = fused_window_pool(
+        concat2, (rows_abs // 8).astype(jnp.int32),
+        (geo["wx"] // 8).astype(jnp.int32),
+        ry.astype(dtype), rx.astype(dtype),
+        win_r, win_c, c, interpret=interpret,
+    ).reshape(b, r, p, p, c)
+
+    # Exact correction for window-overflow (high-aspect) ROIs: a second
+    # kernel pass whose window spans the WHOLE level (tall_r rows x full
+    # wmax columns), so no valid tap can fall outside it. Top-K selection
+    # is over the flattened batch (K total slots, not per image); beyond
+    # K overflowing ROIs the main-pass (window-truncated) value is kept.
+    if overflow_slots > 0 and r > 0:
+        overflow = (max_rel_y > win_r - 1.0) | (max_rel_x > win_c - 1.0)
+        k_slots = min(int(overflow_slots), b * r)
+        _, sel = jax.lax.top_k(overflow.astype(jnp.float32), k_slots)
+
+        tall_r = int(geo["pad_h"].max())  # multiple of 8; covers any level
+        wmax = geo["wmax"]
+        base_abs = (img_idx * geo["sumh"] + geo["lvl_base"])[sel]
+        # Row start may go NEGATIVE (window reaches into the previous
+        # level's rows — weights there are zero) so the slice never runs
+        # past the end of concat2. All terms are multiples of 8.
+        local_start = jnp.minimum(0, (b * geo["sumh"] - tall_r) - base_abs)
+        ry2, _ = _pallas_axis_matrix(
+            geo["ys"][sel], geo["lvl_h"][sel], local_start, tall_r, p,
+            geo["s"])
+        rx2, _ = _pallas_axis_matrix(
+            geo["xs"][sel], geo["lvl_w"][sel], jnp.zeros_like(local_start),
+            wmax, p, geo["s"])
+        corrected = fused_window_pool(
+            concat2, ((base_abs + local_start) // 8).astype(jnp.int32),
+            jnp.zeros((k_slots,), jnp.int32),
+            ry2.astype(dtype), rx2.astype(dtype),
+            tall_r, wmax, c, interpret=interpret,
+            vmem_limit=100 * 1024 * 1024,
+        )
+        out_flat = out.reshape(b * r, p, p, c)
+        fix = jnp.where(
+            overflow[sel][:, None, None, None], corrected, out_flat[sel]
+        )
+        out = out_flat.at[sel].set(fix).reshape(b, r, p, p, c)
+    return out
+
+
+def _pallas_pool_bwd_dense(features, boxes, strides, output_size,
+                           sampling_ratio, aligned, canonical_size,
+                           canonical_level, g):
+    """Adjoint of the exact bilinear interpolation as two dense MXU
+    matmuls per ROI chunk — no scatter. d_concat[h, w] accumulates
+    Ay^T @ g @ Ax over ROIs, then splits back into per-level grads."""
+    geo = _pallas_pool_geometry(
+        features, boxes, strides, output_size, sampling_ratio, aligned,
+        canonical_size, canonical_level,
+    )
+    b, r, c, p, s = geo["b"], geo["r"], geo["c"], geo["p"], geo["s"]
+    sumh, wmax = geo["sumh"], geo["wmax"]
+    dtype = features[0].dtype
+
+    # Full-axis interpolation matrices (window == whole padded extent).
+    # The border clamp must stay LEVEL-local, so coords/size are local and
+    # only the tap index is globalized via a negative window start:
+    # rel = clamp(y) - (-lvl_base) spans exactly the level's global rows.
+    zero = jnp.zeros_like(geo["wy"])
+    ay, _ = _pallas_axis_matrix(
+        geo["ys"], geo["lvl_h"], -geo["lvl_base"], sumh, p, s)
+    ax, _ = _pallas_axis_matrix(geo["xs"], geo["lvl_w"], zero, wmax, p, s)
+
+    ay = ay.reshape(b, r, p, sumh).astype(dtype)
+    ax = ax.reshape(b, r, p, wmax).astype(dtype)
+    gb = g.astype(dtype)
+
+    chunk = r
+    for cand in (128, 64, 32):
+        if r % cand == 0:
+            chunk = cand
+            break
+    nch = r // chunk
+
+    def to_chunks(x):
+        return jnp.moveaxis(
+            x.reshape(b, nch, chunk, *x.shape[2:]), 1, 0)
+
+    def body(acc, xs):
+        g_c, ay_c, ax_c = xs
+        tmp = jnp.einsum("brpqc,brqw->brpwc", g_c, ax_c,
+                         preferred_element_type=jnp.float32).astype(dtype)
+        acc = acc + jnp.einsum("brph,brpwc->bhwc", ay_c, tmp,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((b, sumh, wmax, c), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (to_chunks(gb), to_chunks(ay),
+                                       to_chunks(ax)))
+
+    grads = []
+    for l, f in enumerate(features):
+        base = int(geo["row_base"][l])
+        h, w = f.shape[1], f.shape[2]
+        grads.append(acc[:, base:base + h, :w, :].astype(f.dtype))
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def multilevel_roi_align_pallas(
+    features, boxes, strides, output_size, sampling_ratio=2, aligned=True,
+    canonical_size=224.0, canonical_level=4, overflow_slots=64,
+):
+    """Batched multi-level ROIAlign via the fused Pallas window-pool
+    kernel (ops/pallas/roi_pool.py). features: tuple of (B, H_l, W_l, C);
+    boxes (B, R, 4) -> (B, R, P, P, C) float32. Backward wrt features is
+    the dense-matmul adjoint (no scatter); boxes get zero grad (the
+    detector stop-gradients proposals)."""
+    interpret = jax.default_backend() != "tpu"
+    return _pallas_pool_forward(
+        list(features), boxes, list(strides), output_size, sampling_ratio,
+        aligned, canonical_size, canonical_level, overflow_slots, interpret,
+    )
+
+
+def _pallas_fwd(features, boxes, strides, output_size, sampling_ratio,
+                aligned, canonical_size, canonical_level, overflow_slots):
+    out = multilevel_roi_align_pallas(
+        features, boxes, strides, output_size, sampling_ratio, aligned,
+        canonical_size, canonical_level, overflow_slots,
+    )
+    return out, (features, boxes)
+
+
+def _pallas_bwd(strides, output_size, sampling_ratio, aligned,
+                canonical_size, canonical_level, overflow_slots, res, g):
+    features, boxes = res
+    df = _pallas_pool_bwd_dense(
+        list(features), boxes, list(strides), output_size, sampling_ratio,
+        aligned, canonical_size, canonical_level, g,
+    )
+    return (tuple(df), jnp.zeros_like(boxes))
+
+
+multilevel_roi_align_pallas.defvjp(_pallas_fwd, _pallas_bwd)

@@ -72,6 +72,8 @@ def base_cfg():
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
     cfg.MODEL.AFI_FREEZE = False
+    if os.environ.get("POOLER"):
+        cfg.TPU.POOLER_IMPL = os.environ["POOLER"]
     return cfg
 
 
@@ -150,6 +152,30 @@ def main():
 
         results["fwd_only"] = timed("fwd_only", fwd, data["image"], data)
         del state
+
+    if want("rpn_only"):
+        # backbone + FPN/AFI + RPN head + anchor matching + proposal
+        # NMS + RPN losses (the ProposalNetwork meta-arch), fwd only.
+        # rpn_only - fwd_only_backbone ≈ RPN machinery; comparing against
+        # fwd_only isolates the ROI-heads forward.
+        cfg3 = base_cfg()
+        cfg3.MODEL.META_ARCHITECTURE = "ProposalNetwork"
+        det = build_model(cfg3, train=True)
+        key = jax.random.PRNGKey(1)
+        params = det.init(
+            {"params": jax.random.PRNGKey(0), "sampling": key},
+            data["image"][:1], data["image_sizes"][:1],
+            jax.tree.map(lambda x: x[:1], data["gt"]),
+        )["params"]
+
+        @jax.jit
+        def rpn_fwd(image, d):
+            losses = det.apply({"params": params}, image, d["image_sizes"],
+                               d["gt"], rngs={"sampling": key})
+            loss = sum(jax.tree.leaves(losses))
+            return image + loss * 0.0, loss
+
+        results["rpn_only"] = timed("rpn_only", rpn_fwd, data["image"], data)
 
     if want("backbone_only"):
         det = build_model(cfg, train=True)

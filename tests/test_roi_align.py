@@ -259,3 +259,117 @@ def test_gather_windows_matches_dynamic_slice():
     )(rows, cols)
     got = gather_windows(concat, rows, cols, window, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_pooler_forward_and_grad_match_gather():
+    """Fused Pallas pooler (interpret mode on CPU): batched forward must
+    equal the per-image gather pooler; dense-matmul backward must equal
+    autodiff grads through the gather implementation."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(11)
+    B = 2
+    feats = tuple(
+        jnp.asarray(rng.randn(B, h, w, 8).astype(np.float32))
+        for h, w in [(32, 48), (16, 24), (8, 12), (4, 6)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = np.zeros((B, 5, 4), np.float32)
+    for i in range(B):
+        xy = rng.rand(5, 2) * [120, 80]
+        wh = rng.rand(5, 2) * 60 + 4
+        boxes[i] = np.concatenate([xy, xy + wh], 1)
+    boxes[0, 3] = [-5, -5, 20, 20]        # partially outside
+    boxes[1, 4] = [0, 40, 180, 58]        # high aspect (overflow path)
+    boxes = jnp.asarray(boxes)
+
+    got = np.asarray(multilevel_roi_align_pallas(feats, boxes, strides, 7, 2))
+    want = np.asarray(
+        jax.vmap(
+            lambda *a: multilevel_roi_align(
+                list(a[:-1]), a[-1], list(strides), 7, 2
+            )
+        )(*feats, boxes)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def loss_pallas(fs):
+        return jnp.sum(multilevel_roi_align_pallas(fs, boxes, strides, 7, 2) ** 2)
+
+    def loss_ref(fs):
+        per_img = jax.vmap(
+            lambda *a: multilevel_roi_align(list(a[:-1]), a[-1], list(strides), 7, 2)
+        )(*fs, boxes)
+        return jnp.sum(per_img ** 2)
+
+    g_pallas = jax.grad(loss_pallas)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    for a, b in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_pooler_mask_scale():
+    """P=14 (mask-branch resolution) parity on a second geometry."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(3)
+    B = 2
+    feats = tuple(
+        jnp.asarray(rng.randn(B, h, w, 4).astype(np.float32))
+        for h, w in [(40, 40), (20, 20), (10, 10), (5, 5)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = np.zeros((B, 4, 4), np.float32)
+    for i in range(B):
+        xy = rng.rand(4, 2) * [100, 100]
+        wh = rng.rand(4, 2) * 50 + 8
+        boxes[i] = np.concatenate([xy, xy + wh], 1)
+    boxes = jnp.asarray(boxes)
+
+    got = np.asarray(multilevel_roi_align_pallas(feats, boxes, strides, 14, 2))
+    want = np.asarray(
+        jax.vmap(
+            lambda *a: multilevel_roi_align(
+                list(a[:-1]), a[-1], list(strides), 14, 2
+            )
+        )(*feats, boxes)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_pooler_true_overflow_correction():
+    """A genuinely window-overflowing extreme-aspect box (extent > the
+    main window at its assigned level) must be corrected exactly by the
+    full-coverage second kernel pass — parity vs the gather pooler."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(7)
+    B = 2
+    # level-0 width 96 cells > the 56-wide main window: a wide box routed
+    # to a low level can overflow in x.
+    feats = tuple(
+        jnp.asarray(rng.randn(B, h, w, 8).astype(np.float32))
+        for h, w in [(64, 96), (32, 48), (16, 24), (8, 12)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = np.zeros((B, 6, 4), np.float32)
+    for i in range(B):
+        xy = rng.rand(6, 2) * [200, 150]
+        wh = rng.rand(6, 2) * 60 + 4
+        boxes[i] = np.concatenate([xy, xy + wh], 1)
+    boxes[0, 0] = [2, 100, 370, 113]    # 92x3 cells at stride 4 -> x overflow
+    boxes[1, 5] = [120, 4, 133, 250]    # tall -> y overflow
+    boxes = jnp.asarray(boxes)
+
+    got = np.asarray(multilevel_roi_align_pallas(feats, boxes, strides, 7, 2))
+    want = np.asarray(
+        jax.vmap(
+            lambda *a: multilevel_roi_align(
+                list(a[:-1]), a[-1], list(strides), 7, 2
+            )
+        )(*feats, boxes)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
