@@ -316,12 +316,18 @@ _C.TPU.MAX_GT_BOXES = 100
 # Per-instance GT mask canvas (rasterized once on host, crop-resized to
 # 28x28 inside the jitted step — SURVEY §7.4 mask-target plan).
 _C.TPU.MASK_CANVAS = 112
-# Rematerialize backbone blocks + AFI dense blocks during training
-# (jax.checkpoint): trades ~25% extra forward FLOPs for activation memory.
-# Measured on v5e: batch 8 fits WITHOUT remat (16.4 img/s) and remat only
-# slows it (15.7); batch 16 OOMs either way (pooler stacking dominates) —
-# so default off; flip on for memory-constrained configs.
+# Rematerialize activations during training (jax.checkpoint): trades
+# extra forward FLOPs for activation memory. Measured on v5e: batch 8
+# fits WITHOUT remat and remat only slows it, so default off; batch 16
+# per chip (the reference's global batch on one chip) needs it — use
+# REMAT_MODE "selective" below, which costs far less recompute.
 _C.TPU.REMAT = False
+# Remat granularity when TPU.REMAT is on. "full": every backbone block +
+# pyramid + AFI (max memory savings, ~17% slower). "selective": only the
+# memory-dominant, cheap-to-recompute parts — res2 (stride-4 planes),
+# the pyramid, and the AFI dense blocks — keeping res3-5 activations
+# stored. The batch-16 enabler with far less recompute than "full".
+_C.TPU.REMAT_MODE = "full"
 # Training-only: approx_max_k (TPU PartialReduce, recall >= 0.95) for the
 # RPN pre-NMS per-level top-k; eval always uses exact top_k (d2 numerics).
 _C.TPU.APPROX_TOPK = True

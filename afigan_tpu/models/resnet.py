@@ -109,6 +109,10 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     remat: bool = False
+    # None: remat every stage (TPU.REMAT_MODE "full"); else only the
+    # named stages — "selective" remats res2, whose activations dominate
+    # (stride-4 planes) while its recompute is a small backbone fraction.
+    remat_stages: Optional[Sequence[str]] = None
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -116,7 +120,6 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         stage_blocks = RESNET_STAGES[self.depth]
-        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         y = BasicStem(self.stem_out_channels, self.norm, self.train,
                       self.axis_name, self.dtype, name="stem")(x.astype(self.dtype))
 
@@ -130,6 +133,10 @@ class ResNet(nn.Module):
             if stage > max_stage:
                 break
             name = f"res{stage}"
+            stage_remat = self.remat and (
+                self.remat_stages is None or name in self.remat_stages
+            )
+            block_cls = nn.remat(BottleneckBlock) if stage_remat else BottleneckBlock
             first_stride = 1 if stage == 2 else 2
             dilation = self.res5_dilation if stage == 5 else 1
             if stage == 5 and self.res5_dilation == 2:
@@ -168,6 +175,9 @@ def build_resnet(cfg, train: bool = False, axis_name: Optional[str] = None,
     r = cfg.MODEL.RESNETS
     return ResNet(
         remat=bool(train and cfg.TPU.REMAT),
+        remat_stages=(
+            ("res2",) if cfg.TPU.REMAT_MODE == "selective" else None
+        ),
         depth=r.DEPTH,
         norm=r.NORM,
         stem_out_channels=r.STEM_OUT_CHANNELS,

@@ -231,3 +231,23 @@ def test_stage3_remat_is_numerically_identical():
         losses[remat] = float(metrics["total_loss"])
     assert np.isfinite(losses[True])
     assert abs(losses[True] - losses[False]) < 1e-3, losses
+
+
+def test_stage3_selective_remat_is_numerically_identical():
+    """TPU.REMAT_MODE="selective" (res2 + pyramid + AFI only) must also
+    be a pure memory/compute trade: same one-step loss as no remat."""
+    losses = {}
+    for mode in (None, "selective"):
+        cfg = _stage3_cfg()
+        cfg.MODEL.AFI_FREEZE = False
+        if mode:
+            cfg.TPU.REMAT = True
+            cfg.TPU.REMAT_MODE = mode
+        state = init_stage3_state(
+            cfg, jax.random.PRNGKey(0), sample_hw=(64, 64), max_gt=4
+        )
+        step = make_stage3_train_step(cfg)
+        _, metrics = step(state, _det_batch(), jax.random.PRNGKey(1))
+        losses[mode] = float(metrics["total_loss"])
+    assert np.isfinite(losses["selective"])
+    assert abs(losses["selective"] - losses[None]) < 1e-3, losses
