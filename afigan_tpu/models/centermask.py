@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.roi_align import multilevel_roi_align_fast
+from ..ops.roi_align import multilevel_roi_align_pallas
 from .box_head import Detections
 from .fcos import FCOS, build_fcos
 from .layers import Conv, ConvTranspose, c2_msra_fill
@@ -91,11 +91,14 @@ class CenterMask(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _pool(self, features, boxes):
+        # Batched fused Pallas window pool (same kernel as the R-CNN ROI
+        # heads' default pooler); same level assignment/canonical params
+        # as the previous per-image windowed-matmul form.
         feats = [features[f] for f in self.mask_in_features]
-        return jax.vmap(lambda *a: multilevel_roi_align_fast(
-            tuple(a[:-1]), a[-1], tuple(self.mask_strides),
+        return multilevel_roi_align_pallas(
+            tuple(feats), boxes, tuple(self.mask_strides),
             self.mask_pooler_resolution, 2, True,
-        ))(*feats, boxes)
+        )
 
     @nn.compact
     def __call__(self, images, image_sizes, gt: Optional[GroundTruth] = None):
