@@ -727,11 +727,19 @@ def _pallas_pool_bwd_dense(features, boxes, strides, output_size,
     ax = ax.reshape(b, r, p, wmax).astype(dtype)
     gb = g.astype(dtype)
 
+    # Chunk the ROI axis so the (b, chunk, p, wmax, c) einsum transient
+    # stays bounded (~2.5 GB) regardless of batch: at b=16/P=14 a
+    # 128-chunk intermediate reaches ~5 GB and dominates backward peak
+    # memory (the batch-16 regime, BENCH_BATCH=16). The bound is chosen
+    # to leave the measured batch-8 chunking (128) unchanged.
+    budget = 5 * (1 << 29)
     chunk = r
-    for cand in (128, 64, 32):
+    for cand in (128, 64, 32, 16, 8):
         if r % cand == 0:
             chunk = cand
-            break
+            bytes_tmp = b * cand * p * wmax * c * jnp.dtype(dtype).itemsize
+            if bytes_tmp <= budget:
+                break
     nch = r // chunk
 
     def to_chunks(x):
