@@ -328,6 +328,15 @@ def main():
 
     # Realistic training shapes: 800-short-side COCO canvas, per-chip batch.
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    if batch >= 12 and not cfg.TPU.REMAT:
+        # Unrematted batch>=12 exceeds the 16 GB chip and the resulting
+        # allocation failure inside a Pallas DMA CRASHES the TPU worker
+        # (observed: hours of tunnel downtime), so refuse to run it bare.
+        print("BENCH_BATCH>=12 without remat overflows HBM and can crash "
+              "the TPU worker; enabling TPU.REMAT_MODE=selective",
+              file=sys.stderr)
+        cfg.TPU.REMAT = True
+        cfg.TPU.REMAT_MODE = "selective"
     h, w = 800, 1344
     max_gt = 64
 
