@@ -562,7 +562,9 @@ def _pallas_pool_geometry(features, boxes, strides, output_size,
     # absorbs the round-down.
     win_r = window + 8
     win_c = window + 8
-    wmax = max(int(widths.max()), win_c)
+    # wmax rounded up to a multiple of 8 so the 8-aligned-up column clip
+    # bound (below) keeps start + win_c <= wmax for the widest level.
+    wmax = max(int((int(widths.max()) + 7) // 8 * 8), win_c)
     # pad_h multiples of 8 keep every level's (and image's) row base —
     # hence every aligned window start — provably 8-aligned.
     pad_h = (np.maximum(heights, win_r) + 7) // 8 * 8
@@ -597,13 +599,19 @@ def _pallas_pool_geometry(features, boxes, strides, output_size,
     ys = y1[:, None] + grid[None, :] * (roi_h / p)[:, None]  # (N, P*S)
     xs = x1[:, None] + grid[None, :] * (roi_w / p)[:, None]
 
+    # Clip bounds are rounded UP to multiples of 8: starts must be
+    # 8-aligned, and an aligned-DOWN bound would leave the level's last
+    # (lvl % 8) rows/cols reachable only through the capped overflow
+    # pass (bottom-of-p3 / right-of-p4 ROIs at 800x1344). Aligning up is
+    # exactly in bounds: win_r/win_c are multiples of 8, so
+    # ceil((lvl - win)/8)*8 + win == ceil(lvl/8)*8 <= pad_h (resp. wmax).
+    ub_y = (jnp.maximum(lvl_h - win_r, 0) + 7) // 8 * 8
+    ub_x = (jnp.maximum(lvl_w - win_c, 0) + 7) // 8 * 8
     wy = jnp.clip(
-        jnp.floor(jnp.min(ys, axis=1)).astype(jnp.int32) - 1,
-        0, jnp.maximum(lvl_h - win_r, 0),
+        jnp.floor(jnp.min(ys, axis=1)).astype(jnp.int32) - 1, 0, ub_y,
     )
     wx = jnp.clip(
-        jnp.floor(jnp.min(xs, axis=1)).astype(jnp.int32) - 1,
-        0, jnp.maximum(lvl_w - win_c, 0),
+        jnp.floor(jnp.min(xs, axis=1)).astype(jnp.int32) - 1, 0, ub_x,
     )
     # round starts down to multiples of 8 (DMA tile alignment; the +8
     # window slack absorbs the shift — weights are relative to the

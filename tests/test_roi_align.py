@@ -373,3 +373,48 @@ def test_pallas_pooler_true_overflow_correction():
         )(*feats, boxes)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_pooler_edge_rois_exact_without_overflow_slots():
+    """Ordinary small ROIs at a level's bottom/right edge must be exact
+    in the MAIN pass (overflow_slots=0): when (lvl - win) is not a
+    multiple of 8 the window clip bound must align UP, not down —
+    aligning down leaves the last (lvl % 8) rows/cols reachable only
+    through the capped correction pass (regression for the
+    bottom-of-p3 / right-of-p4 silent-truncation bug)."""
+    import jax
+    from afigan_tpu.ops.roi_align import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(13)
+    B = 2
+    # win_r = win_c = 56 here; level-0 is 60x100 so the y clip bound is
+    # 60-56=4 (aligned-down: 0, leaving rows 56..59 short) and the x
+    # bound is 100-56=44 (aligned-down: 40, leaving cols 96..99 short).
+    feats = tuple(
+        jnp.asarray(rng.randn(B, h, w, 8).astype(np.float32))
+        for h, w in [(60, 100), (30, 50), (15, 25), (8, 13)]
+    )
+    strides = (4, 8, 16, 32)
+    boxes = np.zeros((B, 4, 4), np.float32)
+    for i in range(B):
+        xy = rng.rand(4, 2) * [300, 150]
+        wh = rng.rand(4, 2) * 40 + 4
+        boxes[i] = np.concatenate([xy, xy + wh], 1)
+    boxes[0, 0] = [385, 228, 398, 238]   # bottom-right corner of level 0
+    boxes[0, 1] = [40, 226, 56, 239]     # bottom edge (y-only)
+    boxes[1, 2] = [388, 100, 399, 117]   # right edge (x-only)
+    boxes = jnp.asarray(boxes)
+
+    got = np.asarray(
+        multilevel_roi_align_pallas(
+            feats, boxes, strides, 7, 2, overflow_slots=0
+        )
+    )
+    want = np.asarray(
+        jax.vmap(
+            lambda *a: multilevel_roi_align(
+                list(a[:-1]), a[-1], list(strides), 7, 2
+            )
+        )(*feats, boxes)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
