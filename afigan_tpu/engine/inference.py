@@ -58,7 +58,8 @@ def rescale_boxes(boxes: np.ndarray, resized_hw, orig_hw) -> np.ndarray:
 
 
 def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
-                           max_images: Optional[int] = None
+                           max_images: Optional[int] = None,
+                           distributed: bool = False
                            ) -> Dict[str, Dict[str, float]]:
     """Box-proposal AR eval for the ProposalNetwork meta-arch — the
     reference evaluator's first-class "proposals" task
@@ -89,6 +90,17 @@ def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
         if max_images is not None and seen >= max_images:
             break
 
+    if distributed:
+        import jax as _jax
+
+        if _jax.process_count() > 1:  # pragma: no cover - multihost only
+            from ..evaluation.coco_eval import allgather_pyobj
+
+            merged: Dict[int, Dict[str, np.ndarray]] = {}
+            for d in allgather_pyobj([proposals]):
+                merged.update(d)
+            proposals = merged
+
     res = {}
     for limit in (100, 1000):
         for area, suffix in (("all", ""), ("small", "s"), ("medium", "m"),
@@ -112,7 +124,8 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
 
     if cfg.MODEL.META_ARCHITECTURE == "ProposalNetwork":
         return run_proposal_inference(
-            cfg, model, variables, dataset, batch_size, max_images
+            cfg, model, variables, dataset, batch_size, max_images,
+            distributed=distributed,
         )
 
     tasks = ["bbox"]

@@ -5,8 +5,11 @@ Parity with d2 v0.1.1 ``verify_results`` as the reference consumes it
 ``TEST.EXPECTED_RESULTS`` is a list of ``[task, metric, expected,
 tolerance]`` rows; each is checked against the eval-results dict
 ``{task: {metric: value}}``. Unlike the reference (which only logs the
-failure), a mismatch here raises — an expectation that silently fails is
-the config-key class of bug round-1/2 VERDICTs flagged.
+failure), a FINAL-eval mismatch here raises — an expectation that
+silently fails is the config-key class of bug round-1/2 VERDICTs
+flagged. Periodic mid-training evals pass ``raise_on_failure=False``:
+an unconverged model missing a final-convergence target logs the
+failure but must not abort hours of training.
 """
 
 from __future__ import annotations
@@ -19,11 +22,16 @@ import numpy as np
 logger = logging.getLogger("afigan_tpu")
 
 
-def verify_results(cfg, results: Dict[str, Dict[str, float]]) -> bool:
+def verify_results(cfg, results: Dict[str, Dict[str, float]],
+                   raise_on_failure: bool = True) -> bool:
     """Check ``results`` against ``cfg.TEST.EXPECTED_RESULTS``.
 
     Returns True when there is nothing to verify or every row passes;
-    raises ``RuntimeError`` listing every failed row otherwise.
+    on failure raises ``RuntimeError`` listing every failed row when
+    ``raise_on_failure`` (the final / --eval-only verification), else
+    logs the failures and returns False (periodic mid-training evals:
+    an unconverged model missing a final-convergence target must not
+    abort the run — the reference only ever logs, d2 testing.py).
     """
     expected = cfg.TEST.EXPECTED_RESULTS
     if not expected:
@@ -51,8 +59,13 @@ def verify_results(cfg, results: Dict[str, Dict[str, float]]) -> bool:
                 f"expected={float(target):.4f} tolerance={float(tolerance):.4f}"
             )
     if failures:
-        raise RuntimeError(
-            "TEST.EXPECTED_RESULTS verification failed:\n  " + "\n  ".join(failures)
+        msg = (
+            "TEST.EXPECTED_RESULTS verification failed:\n  "
+            + "\n  ".join(failures)
         )
+        if raise_on_failure:
+            raise RuntimeError(msg)
+        logger.error(msg)
+        return False
     logger.info(f"verify_results: all {len(expected)} expectation(s) passed")
     return True

@@ -68,14 +68,26 @@ class PeriodicCheckpointer(Hook):
 
 
 class EvalHook(Hook):
-    def __init__(self, eval_fn: Callable[[], Dict], period: int):
+    def __init__(self, eval_fn: Callable[..., Dict], period: int):
         self.eval_fn = eval_fn
         self.period = period
+        # zero-arg callables stay supported; trainers' evaluate(final=...)
+        # gets told whether this is the last eval (only the final one may
+        # raise on TEST.EXPECTED_RESULTS mismatch)
+        import inspect
+
+        try:
+            self._takes_final = "final" in inspect.signature(eval_fn).parameters
+        except (TypeError, ValueError):
+            self._takes_final = False
 
     def after_step(self, loop):
         it = loop.storage.iter + 1
         if self.period > 0 and (it % self.period == 0 or it == loop.max_iter):
-            results = self.eval_fn()
+            if self._takes_final:
+                results = self.eval_fn(final=it == loop.max_iter)
+            else:
+                results = self.eval_fn()
             for task, metrics in (results or {}).items():
                 for k, v in metrics.items():
                     loop.storage.put_scalar(f"{task}/{k}", v)

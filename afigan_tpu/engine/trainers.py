@@ -422,7 +422,7 @@ class AFExtractorTrainer(_BaseTrainer):
             new_state = replicate(self.mesh, jax.device_get(new_state))
         self.state = new_state
 
-    def evaluate(self):
+    def evaluate(self, final=True):
         """Inference-mode AF-extractor eval at HALF resolution.
 
         The AF-extractor consumes x0.5 images during training (ref
@@ -450,7 +450,8 @@ class AFExtractorTrainer(_BaseTrainer):
         )
         from .testing import verify_results
 
-        verify_results(self.cfg, results)  # ref stage1_trainer.py:296-301
+        # ref stage1_trainer.py:296-301; mid-training evals only log
+        verify_results(self.cfg, results, raise_on_failure=final)
         return results
 
 
@@ -555,7 +556,7 @@ class TargetDetectorTrainer(_BaseTrainer):
             if self.loader:
                 self.loader.close()
 
-    def evaluate(self):
+    def evaluate(self, final=True):
         from .inference import run_inference
 
         cfg = self.cfg
@@ -569,7 +570,8 @@ class TargetDetectorTrainer(_BaseTrainer):
         )
         from .testing import verify_results
 
-        verify_results(cfg, results)  # ref stage1_trainer.py:296-301
+        # ref stage1_trainer.py:296-301; mid-training evals only log
+        verify_results(cfg, results, raise_on_failure=final)
         return results
 
     def _bn_stats(self):

@@ -102,6 +102,8 @@ def run_tta_inference(cfg, model, variables, dataset,
     from ..data.coco import read_image
     from .inference import paste_masks
 
+    # d2 GeneralizedRCNNWithTTA: "TTA for keypoint is not supported yet"
+    assert not cfg.MODEL.KEYPOINT_ON, "TTA for keypoints is not supported"
     tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
     evaluator = CocoEvaluator(dataset, tasks=tasks)
     apply_fn = jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))

@@ -175,6 +175,12 @@ def build_roi_heads(cfg, train=False, axis_name=None, dtype=None):
         keypoint_normalize_by_visible=(
             cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
         ),
+        keypoint_sampling_ratio=max(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO, 2
+        ),
+        keypoint_aligned=(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE != "ROIAlign"
+        ),
         batch_size_per_image=rh.BATCH_SIZE_PER_IMAGE,
         positive_fraction=rh.POSITIVE_FRACTION,
         iou_threshold=rh.IOU_THRESHOLDS[0],

@@ -87,18 +87,40 @@ class CenterMask(nn.Module):
     mask_strides: Sequence[int] = (8, 16, 32)
     mask_pooler_resolution: int = 14
     max_fg: int = 64  # fixed GT-box capacity for mask training
+    pooler_impl: str = "pallas"  # TPU.POOLER_IMPL, same knob as ROI heads
     train: bool = False
     dtype: Dtype = jnp.float32
 
     def _pool(self, features, boxes):
-        # Batched fused Pallas window pool (same kernel as the R-CNN ROI
-        # heads' default pooler); same level assignment/canonical params
-        # as the previous per-image windowed-matmul form.
+        # Same pooler-impl dispatch as the R-CNN ROI heads (TPU.POOLER_IMPL):
+        # default the fused Pallas window pool, with the gather/fast/windowed
+        # forms selectable for A/B and debugging.
         feats = [features[f] for f in self.mask_in_features]
-        return multilevel_roi_align_pallas(
-            tuple(feats), boxes, tuple(self.mask_strides),
-            self.mask_pooler_resolution, 2, True,
+        if self.pooler_impl == "pallas":
+            return multilevel_roi_align_pallas(
+                tuple(feats), boxes, tuple(self.mask_strides),
+                self.mask_pooler_resolution, 2, True,
+            )
+        from ..ops.roi_align import (
+            multilevel_roi_align,
+            multilevel_roi_align_fast,
+            multilevel_roi_align_windowed,
         )
+
+        if self.pooler_impl == "fast":
+            return jax.vmap(lambda *a: multilevel_roi_align_fast(
+                tuple(a[:-1]), a[-1], tuple(self.mask_strides),
+                self.mask_pooler_resolution, 2, True,
+            ))(*feats, boxes)
+        impl = (
+            multilevel_roi_align_windowed
+            if self.pooler_impl == "windowed"
+            else multilevel_roi_align
+        )
+        return jax.vmap(lambda *a: impl(
+            list(a[:-1]), a[-1], list(self.mask_strides),
+            self.mask_pooler_resolution, 2, True,
+        ))(*feats, boxes)
 
     @nn.compact
     def __call__(self, images, image_sizes, gt: Optional[GroundTruth] = None):
@@ -207,6 +229,7 @@ def build_centermask(cfg, train: bool = False, axis_name=None):
         num_classes=cfg.MODEL.FCOS.NUM_CLASSES,
         mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
         max_fg=min(cfg.TPU.MAX_GT_BOXES, 64),
+        pooler_impl=cfg.TPU.POOLER_IMPL,
         train=train,
         dtype=fcos.dtype,
     )

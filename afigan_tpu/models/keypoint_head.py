@@ -102,6 +102,7 @@ def keypoint_rcnn_loss(
     roi_valid: jnp.ndarray,  # (R,)
     normalize_by_visible: bool = True,
     loss_weight: float = 1.0,
+    normalizer: float | None = None,
 ) -> jnp.ndarray:
     """Softmax CE over the flattened heatmap per visible keypoint
     (d2 roi_heads/keypoint_head.py ``keypoint_rcnn_loss``)."""
@@ -119,7 +120,14 @@ def keypoint_rcnn_loss(
     if normalize_by_visible:
         norm = jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1.0)
     else:
-        norm = jnp.maximum(jnp.sum(roi_valid.astype(jnp.float32)), 1.0)
+        # d2 semantics: a CONSTANT normalizer (num_images *
+        # batch_size_per_image * positive_fraction), not the per-step
+        # valid-ROI count — the flag-off mode must not inflate the loss
+        # on sparse images.
+        assert normalizer is not None, (
+            "normalize_by_visible=False requires the d2 constant normalizer"
+        )
+        norm = jnp.maximum(jnp.asarray(normalizer, jnp.float32), 1.0)
     return loss_weight * total / norm
 
 

@@ -35,6 +35,68 @@ from .cascade_roi_heads import CascadeROIHeads
 Dtype = Any
 
 
+def _rpn_forward(m: nn.Module, features, image_sizes, gt):
+    """Shared RPN block for GeneralizedRCNN and ProposalNetwork (both
+    carry identical rpn_* fields and the same 'proposal_generator' child
+    name, so the param trees stay interchangeable).
+
+    Returns (proposals, losses): losses is None in inference, else the
+    rpn_loss_weight-scaled dict. Submodule creation inside this helper
+    binds to the caller's compact scope (flax tracks the module context
+    dynamically), so checkpoints are unaffected by the refactor.
+    """
+    rpn_feats = [features[f] for f in m.rpn_in_features]
+    feature_shapes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
+    gen = AnchorGenerator(
+        sizes=[list(s) for s in m.anchor_sizes],
+        aspect_ratios=[list(a) for a in m.anchor_aspect_ratios],
+        strides=list(m.rpn_strides),
+        offset=m.anchor_offset,
+    )
+    anchors_per_level = gen(feature_shapes)
+    num_anchors = gen.num_anchors_per_location[0]
+
+    rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=m.rpn_conv_dim,
+                       dtype=m.dtype, name="proposal_generator")
+    logits_l, deltas_l = rpn_head(rpn_feats)
+
+    box2box = Box2BoxTransform(m.rpn_bbox_reg_weights)
+    proposals = generate_proposals(
+        anchors_per_level, logits_l, deltas_l, image_sizes, box2box,
+        m.pre_nms_topk, m.post_nms_topk, m.rpn_nms_thresh,
+        m.rpn_min_size, approx_topk=m.rpn_approx_topk,
+    )
+    if not m.train:
+        return proposals, None
+
+    assert gt is not None
+    anchors = jnp.concatenate(anchors_per_level, axis=0)
+    flat_logits = jnp.concatenate(
+        [l.reshape(l.shape[0], -1) for l in logits_l], axis=1
+    )
+    flat_deltas = jnp.concatenate(
+        [d.reshape(d.shape[0], -1, 4) for d in deltas_l], axis=1
+    )
+    key = m.make_rng("sampling")
+    keys = jax.random.split(key, gt.boxes.shape[0])
+    matcher = Matcher(
+        list(m.rpn_iou_thresholds), [0, -1, 1],
+        allow_low_quality_matches=True,
+    )
+    labels, matched_idx = jax.vmap(
+        lambda k, gb, gv: label_anchors(
+            k, anchors, gb, gv, m.rpn_batch_size_per_image,
+            m.rpn_positive_fraction, matcher,
+        )
+    )(keys, gt.boxes, gt.valid)
+    losses = rpn_losses(
+        labels, matched_idx, gt.boxes, anchors, flat_logits,
+        flat_deltas, box2box, m.rpn_batch_size_per_image,
+        m.rpn_smooth_l1_beta,
+    )
+    return proposals, {k: v * m.rpn_loss_weight for k, v in losses.items()}
+
+
 class GeneralizedRCNN(nn.Module):
     """backbone (flax module) + RPN + ROI heads, config-driven."""
 
@@ -65,15 +127,6 @@ class GeneralizedRCNN(nn.Module):
     return_features: bool = False
     dtype: Dtype = jnp.float32
 
-    def _anchors(self, feature_shapes):
-        gen = AnchorGenerator(
-            sizes=[list(s) for s in self.anchor_sizes],
-            aspect_ratios=[list(a) for a in self.anchor_aspect_ratios],
-            strides=list(self.rpn_strides),
-            offset=self.anchor_offset,
-        )
-        return gen(feature_shapes), gen.num_anchors_per_location[0]
-
     @nn.compact
     def __call__(
         self,
@@ -88,48 +141,10 @@ class GeneralizedRCNN(nn.Module):
 
         features = self.backbone(x.astype(self.dtype))
 
-        rpn_feats = [features[f] for f in self.rpn_in_features]
-        feature_shapes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
-        anchors_per_level, num_anchors = self._anchors(feature_shapes)
-
-        rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=self.rpn_conv_dim,
-                           dtype=self.dtype, name="proposal_generator")
-        logits_l, deltas_l = rpn_head(rpn_feats)
-
-        box2box = Box2BoxTransform(self.rpn_bbox_reg_weights)
-        proposals = generate_proposals(
-            anchors_per_level, logits_l, deltas_l, image_sizes, box2box,
-            self.pre_nms_topk, self.post_nms_topk, self.rpn_nms_thresh,
-            self.rpn_min_size, approx_topk=self.rpn_approx_topk,
-        )
+        proposals, rpn_loss = _rpn_forward(self, features, image_sizes, gt)
 
         if self.train:
-            assert gt is not None
-            anchors = jnp.concatenate(anchors_per_level, axis=0)
-            flat_logits = jnp.concatenate(
-                [l.reshape(l.shape[0], -1) for l in logits_l], axis=1
-            )
-            flat_deltas = jnp.concatenate(
-                [d.reshape(d.shape[0], -1, 4) for d in deltas_l], axis=1
-            )
-            key = self.make_rng("sampling")
-            keys = jax.random.split(key, images.shape[0])
-            matcher = Matcher(
-                list(self.rpn_iou_thresholds), [0, -1, 1],
-                allow_low_quality_matches=True,
-            )
-            labels, matched_idx = jax.vmap(
-                lambda k, gb, gv: label_anchors(
-                    k, anchors, gb, gv, self.rpn_batch_size_per_image,
-                    self.rpn_positive_fraction, matcher,
-                )
-            )(keys, gt.boxes, gt.valid)
-            losses = rpn_losses(
-                labels, matched_idx, gt.boxes, anchors, flat_logits,
-                flat_deltas, box2box, self.rpn_batch_size_per_image,
-                self.rpn_smooth_l1_beta,
-            )
-            losses = {k: v * self.rpn_loss_weight for k, v in losses.items()}
+            losses = dict(rpn_loss)
             losses.update(self.roi_heads(features, proposals, image_sizes, gt))
             if self.return_features:
                 return losses, features
@@ -182,55 +197,10 @@ class ProposalNetwork(nn.Module):
         x = (images.astype(jnp.float32) - mean) / std
         features = self.backbone(x.astype(self.dtype))
 
-        rpn_feats = [features[f] for f in self.rpn_in_features]
-        feature_shapes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
-        gen = AnchorGenerator(
-            sizes=[list(s) for s in self.anchor_sizes],
-            aspect_ratios=[list(a) for a in self.anchor_aspect_ratios],
-            strides=list(self.rpn_strides),
-            offset=self.anchor_offset,
-        )
-        anchors_per_level = gen(feature_shapes)
-        num_anchors = gen.num_anchors_per_location[0]
-
-        rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=self.rpn_conv_dim,
-                           dtype=self.dtype, name="proposal_generator")
-        logits_l, deltas_l = rpn_head(rpn_feats)
-        box2box = Box2BoxTransform(self.rpn_bbox_reg_weights)
-        proposals = generate_proposals(
-            anchors_per_level, logits_l, deltas_l, image_sizes, box2box,
-            self.pre_nms_topk, self.post_nms_topk, self.rpn_nms_thresh,
-            self.rpn_min_size, approx_topk=self.rpn_approx_topk,
-        )
+        proposals, rpn_loss = _rpn_forward(self, features, image_sizes, gt)
         if not self.train:
             return proposals
-
-        assert gt is not None
-        anchors = jnp.concatenate(anchors_per_level, axis=0)
-        flat_logits = jnp.concatenate(
-            [l.reshape(l.shape[0], -1) for l in logits_l], axis=1
-        )
-        flat_deltas = jnp.concatenate(
-            [d.reshape(d.shape[0], -1, 4) for d in deltas_l], axis=1
-        )
-        key = self.make_rng("sampling")
-        keys = jax.random.split(key, images.shape[0])
-        matcher = Matcher(
-            list(self.rpn_iou_thresholds), [0, -1, 1],
-            allow_low_quality_matches=True,
-        )
-        labels, matched_idx = jax.vmap(
-            lambda k, gb, gv: label_anchors(
-                k, anchors, gb, gv, self.rpn_batch_size_per_image,
-                self.rpn_positive_fraction, matcher,
-            )
-        )(keys, gt.boxes, gt.valid)
-        losses = rpn_losses(
-            labels, matched_idx, gt.boxes, anchors, flat_logits,
-            flat_deltas, box2box, self.rpn_batch_size_per_image,
-            self.rpn_smooth_l1_beta,
-        )
-        return {k: v * self.rpn_loss_weight for k, v in losses.items()}
+        return rpn_loss
 
 
 class RCNN_FPN_only(nn.Module):

@@ -126,6 +126,10 @@ class StandardROIHeads(nn.Module):
     num_keypoints: int = 17
     keypoint_loss_weight: float = 1.0
     keypoint_normalize_by_visible: bool = True
+    # ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO / POOLER_TYPE (d2 lets the
+    # keypoint branch pool differently from the box branch)
+    keypoint_sampling_ratio: int = 2
+    keypoint_aligned: bool = True
     # sampling
     batch_size_per_image: int = 512
     positive_fraction: float = 0.25
@@ -147,18 +151,19 @@ class StandardROIHeads(nn.Module):
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
-    def _pool(self, features, boxes, resolution):
+    def _pool(self, features, boxes, resolution, sampling_ratio=None,
+              aligned=None):
         """features: dict of (B,H,W,C); boxes (B,R,4) -> (B,R,P,P,C)."""
         feats = [features[f] for f in self.in_features]
+        sr = self.sampling_ratio if sampling_ratio is None else sampling_ratio
+        al = self.aligned if aligned is None else aligned
         if self.pooler_impl == "pallas":
             return multilevel_roi_align_pallas(
-                tuple(feats), boxes, tuple(self.strides), resolution,
-                self.sampling_ratio, self.aligned,
+                tuple(feats), boxes, tuple(self.strides), resolution, sr, al,
             )
         if self.pooler_impl == "fast":
             return jax.vmap(lambda *a: multilevel_roi_align_fast(
-                tuple(a[:-1]), a[-1], tuple(self.strides), resolution,
-                self.sampling_ratio, self.aligned,
+                tuple(a[:-1]), a[-1], tuple(self.strides), resolution, sr, al,
             ))(*feats, boxes)
         impl = (
             multilevel_roi_align_windowed
@@ -166,8 +171,7 @@ class StandardROIHeads(nn.Module):
             else multilevel_roi_align
         )
         return jax.vmap(lambda *a: impl(
-            list(a[:-1]), a[-1], list(self.strides), resolution,
-            self.sampling_ratio, self.aligned,
+            list(a[:-1]), a[-1], list(self.strides), resolution, sr, al,
         ))(*feats, boxes)
 
     def _box_head(self):
@@ -196,11 +200,11 @@ class StandardROIHeads(nn.Module):
         # mask-on-given-boxes path (TTA: masks from merged boxes, d2
         # GeneralizedRCNNWithTTA _rescale_detected_boxes semantics)
         if not self.train and given_dets is not None:
+            # masks only: the TTA caller averages mask probabilities over
+            # merged boxes and never reads keypoints (d2 TTA has no
+            # keypoint support — GeneralizedRCNNWithTTA asserts it off),
+            # so running the 8-conv keypoint head here would be waste.
             masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
-            if self.keypoint_on:
-                given_dets = given_dets._replace(
-                    keypoints=self._keypoint_branch_infer(features, given_dets)
-                )
             return given_dets, masks
 
         box2box = Box2BoxTransform(self.bbox_reg_weights)
@@ -335,7 +339,8 @@ class StandardROIHeads(nn.Module):
         b, s = sampled.gt_classes.shape
         max_fg, fg_boxes, fg_classes, fg_gt_idx, fg_valid = self._select_fg(sampled)
 
-        pooled = self._pool(features, fg_boxes, self.keypoint_pooler_resolution)
+        pooled = self._pool(features, fg_boxes, self.keypoint_pooler_resolution,
+                            self.keypoint_sampling_ratio, self.keypoint_aligned)
         flat = pooled.reshape(b * max_fg, *pooled.shape[2:])
         logits = self._keypoint_head()(flat)
 
@@ -347,13 +352,17 @@ class StandardROIHeads(nn.Module):
             fg_valid.reshape(-1),
             self.keypoint_normalize_by_visible,
             self.keypoint_loss_weight,
+            # d2's flag-off constant: num_images * batch_size_per_image *
+            # positive_fraction (== b * max_fg)
+            normalizer=float(b * max_fg),
         )
 
     def _keypoint_branch_infer(self, features, dets: Detections):
         from .keypoint_head import heatmaps_to_keypoints
 
         b, d = dets.scores.shape
-        pooled = self._pool(features, dets.boxes, self.keypoint_pooler_resolution)
+        pooled = self._pool(features, dets.boxes, self.keypoint_pooler_resolution,
+                            self.keypoint_sampling_ratio, self.keypoint_aligned)
         flat = pooled.reshape(b * d, *pooled.shape[2:])
         logits = self._keypoint_head()(flat)
         kp = heatmaps_to_keypoints(logits, dets.boxes.reshape(b * d, 4))

@@ -14,10 +14,9 @@ box-branch scale (B=8, R=512/img, window 48, concat (398,336,256) bf16):
 
 import os
 import sys
-import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import chained_timed
 
 import numpy as np
 import jax
@@ -25,24 +24,11 @@ import jax.numpy as jnp
 
 B, R, WIN, C, P = 8, 512, 48, 256, 7
 SUMH, WMAX = 398, 336
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 DT = jnp.bfloat16
 
 
 def timed(name, fn, state):
-    out = fn(state)
-    jax.device_get(jax.tree.leaves(out)[0])
-    state = out
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state = fn(state)
-        jax.device_get(jax.tree.leaves(state)[0])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{name:>8}: {best/ITERS*1000:8.2f} ms", flush=True)
+    return chained_timed(name, fn, state, label_width=8)
 
 
 def main():

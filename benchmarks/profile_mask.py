@@ -6,10 +6,9 @@ shapes (batch 8, 800x1344 pyramid, 128 fg ROIs/img, P=14).
 
 import os
 import sys
-import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import chained_timed
 
 import numpy as np
 import jax
@@ -21,8 +20,6 @@ from afigan_tpu.ops.roi_align import multilevel_roi_align_fast
 B, FG, C, P = 8, 128, 256, 14
 H, W = 800, 1344
 MAX_GT = 64
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 DT = jnp.bfloat16
 STRIDES = (4, 8, 16, 32)
 
@@ -42,19 +39,7 @@ def feats_and_boxes():
 
 
 def timed(name, fn, state):
-    out = fn(state)
-    jax.device_get(jax.tree.leaves(out)[0])
-    state = out
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state = fn(state)
-        jax.device_get(jax.tree.leaves(state)[0])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{name:>16}: {best/ITERS*1000:8.2f} ms", flush=True)
-    return best / ITERS
+    return chained_timed(name, fn, state, label_width=16)
 
 
 def main():

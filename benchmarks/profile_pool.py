@@ -10,10 +10,9 @@ Run ALONE on the chip: `python benchmarks/profile_pool.py`.
 
 import os
 import sys
-import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import chained_timed
 
 import numpy as np
 import jax
@@ -26,8 +25,6 @@ from afigan_tpu.ops.roi_align import (
 
 B, C = 8, 256
 H, W = 800, 1344
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 DT = jnp.bfloat16
 STRIDES = (4, 8, 16, 32)
 
@@ -47,18 +44,7 @@ def make_inputs(r):
 
 
 def timed(name, fn, state):
-    out = fn(state)
-    jax.device_get(jax.tree.leaves(out)[0])
-    state = out
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state = fn(state)
-        jax.device_get(jax.tree.leaves(state)[0])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{name:>22}: {best/ITERS*1000:8.2f} ms", flush=True)
+    return chained_timed(name, fn, state, label_width=22)
 
 
 def pool_fast(fs, boxes, p):

@@ -21,10 +21,9 @@ the axon backend (see verify skill).
 
 import os
 import sys
-import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import chained_timed
 
 import numpy as np
 import jax
@@ -38,8 +37,6 @@ from afigan_tpu.models import build_model
 from afigan_tpu.models.roi_heads import GroundTruth
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 H, W = 800, 1344
 MAX_GT = 64
 
@@ -78,27 +75,15 @@ def base_cfg():
 
 
 def timed(name, fn, *args):
-    """Chained timing: run fn ITERS times reusing its own output state.
-
-    The production step donates its state arg, so the warmup's input is
-    INVALID afterwards — always carry the state forward from the outputs,
-    never reuse args[0]."""
-    out = fn(*args)  # compile + warmup; fn ALWAYS returns (new_state, aux)
-    jax.device_get(jax.tree.leaves(out)[0])
-    state = out[0]
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(ITERS):
-            o = fn(state, *args[1:])
-            state = o[0]
-        jax.device_get(jax.tree.leaves(o)[0])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{name:>14}: {best/ITERS*1000:8.2f} ms/step  "
-          f"{BATCH*ITERS/best:7.2f} img/s", flush=True)
-    return best / ITERS
+    """Chained timing via the shared helper; fn(state, *rest) ALWAYS
+    returns (new_state, aux) and may donate its state arg, so the next
+    call consumes out[0], never the original args[0]."""
+    rest = args[1:]
+    return chained_timed(
+        name, lambda st: fn(st, *rest), args[0],
+        state_of=lambda out: out[0], label_width=14,
+        imgs_per_iter=BATCH,
+    )
 
 
 def main():

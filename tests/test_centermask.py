@@ -114,3 +114,36 @@ def test_centermask_mask_branch_trains_on_fcos_proposals():
     l0 = model.apply(variables, images, sizes, gt)
     assert np.isfinite(float(l0["loss_mask"]))
     assert tb2.shape == train_boxes.shape
+
+
+def test_centermask_honors_pooler_impl_knob():
+    """TPU.POOLER_IMPL must reach CenterMask's mask pooler (the same
+    A/B + debugging fallback the R-CNN heads honor): gather vs pallas
+    inference masks must agree on identical params."""
+    cfg = _cfg()
+    images = jnp.asarray(
+        np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32) * 255
+    )
+    sizes = jnp.asarray([[64, 64]], jnp.int32)
+
+    cfg.TPU.POOLER_IMPL = "pallas"
+    m_pallas = build_model(cfg, train=False)
+    var = jax.jit(
+        lambda: m_pallas.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    dets_p, masks_p = jax.jit(lambda v: m_pallas.apply(v, images, sizes))(var)
+
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.TPU.POOLER_IMPL = "gather"
+    cfg2.freeze()
+    m_gather = build_model(cfg2, train=False)
+    assert m_gather.pooler_impl == "gather"
+    dets_g, masks_g = jax.jit(lambda v: m_gather.apply(v, images, sizes))(var)
+
+    np.testing.assert_allclose(
+        np.asarray(dets_p.boxes), np.asarray(dets_g.boxes), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks_p), np.asarray(masks_g), rtol=1e-4, atol=1e-4
+    )

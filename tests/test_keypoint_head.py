@@ -124,6 +124,44 @@ def test_keypoint_loss_ignores_invisible():
     assert float(loss_novalid) == 0.0
 
 
+def test_keypoint_loss_constant_normalizer_when_flag_off():
+    """NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS=False must divide by the d2
+    CONSTANT normalizer (num_images * batch_size_per_image *
+    positive_fraction), not the per-step valid-ROI count — otherwise
+    sparse images inflate the keypoint loss (and its effective LR)."""
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(4, 56, 56, 3).astype(np.float32))
+    rois = jnp.asarray(
+        [[0, 0, 28, 28], [10, 10, 40, 40], [5, 5, 30, 30], [0, 0, 20, 20]],
+        jnp.float32,
+    )
+    kps = jnp.asarray(
+        rng.rand(4, 3, 3).astype(np.float32) * 15 + 5
+    ).at[..., 2].set(2.0)
+
+    # only 1 of 4 ROIs valid: the loss must still be sum/NORMALIZER,
+    # with NORMALIZER the constant capacity, independent of valid count
+    valid1 = jnp.asarray([True, False, False, False])
+    loss = keypoint_rcnn_loss(
+        logits, kps, rois, valid1, normalize_by_visible=False,
+        normalizer=16.0,
+    )
+    loss_scaled = keypoint_rcnn_loss(
+        logits, kps, rois, valid1, normalize_by_visible=False,
+        normalizer=32.0,
+    )
+    assert np.isclose(float(loss), 2.0 * float(loss_scaled), rtol=1e-6)
+
+    # flag-off without the constant is a programming error, not a
+    # silent fallback
+    import pytest
+
+    with pytest.raises(AssertionError):
+        keypoint_rcnn_loss(
+            logits, kps, rois, valid1, normalize_by_visible=False,
+        )
+
+
 def test_heatmaps_to_keypoints_peak_recovery():
     """A sharp heatmap peak at a known cell maps back near that location."""
     s, k = 56, 2

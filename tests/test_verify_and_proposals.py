@@ -48,6 +48,30 @@ def test_verify_results_nan_raises():
         verify_results(cfg, {"bbox": {"AP": float("nan")}})
 
 
+def test_verify_results_periodic_eval_logs_not_raises():
+    """Mid-training (non-final) evals must not abort the run: an
+    unconverged model failing a final-convergence target only logs."""
+    cfg = _cfg_with_expected([["bbox", "AP", 38.5, 0.2]])
+    assert verify_results(cfg, {"bbox": {"AP": 12.0}},
+                          raise_on_failure=False) is False
+
+
+def test_eval_hook_passes_final_only_on_last_iter():
+    """EvalHook tells evaluate(final=...) whether this is the final
+    eval; only that one may raise on EXPECTED_RESULTS mismatch."""
+    from afigan_tpu.engine.train_loop import EvalHook, TrainLoop
+
+    calls = []
+
+    def fake_eval(final=False):
+        calls.append(final)
+        return {"bbox": {"AP": 1.0}}
+
+    loop = TrainLoop(max_iter=4, hooks=[EvalHook(fake_eval, period=2)])
+    loop.run(lambda: {"total_loss": 0.0})
+    assert calls == [False, True]
+
+
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):
     from afigan_tpu.data import register_coco_instances, get_dataset
