@@ -112,7 +112,11 @@ def collate_batch(
             [[s["orig_height"], s["orig_width"]] for s in samples], np.int32
         ),
     }
-    if "gt" in samples[0]:
+    # dual-scale (stage-1/2) consumers only ever read gt_x0.5 — stage 1
+    # uses no gt and stage 2 trains the detector on the half-res stream —
+    # so skip stacking the full-res gt there: its (MAX_GT, canvas, canvas)
+    # mask canvases are ~5 MB/record of pure collate/copy waste.
+    if "gt" in samples[0] and not dual_scale:
         batch["gt"] = _stack_gt([s["gt"] for s in samples])
     if dual_scale:
         half_canvas = (canvas[0] // 2, canvas[1] // 2)
@@ -150,9 +154,13 @@ class PrefetchingLoader:
         self.buckets = buckets
         self.dual_scale = dual_scale
         self.size_divisibility = size_divisibility
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        # NUM_WORKERS=0 is the d2 "serial/debug" convention; mapping
+        # already happens off the main thread here, so a 1-thread pool is
+        # the serial equivalent (ThreadPoolExecutor rejects 0).
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._exc: BaseException | None = None
         self.thread = threading.Thread(target=self._producer, daemon=True)
         self.thread.start()
 
@@ -169,6 +177,11 @@ class PrefetchingLoader:
                 self.q.put(batch)
         except StopIteration:
             pass
+        except BaseException as e:
+            # surface mapper/collate failures to the consumer — dying
+            # silently here would end training with a clean-looking
+            # StopIteration and no root cause
+            self._exc = e
         finally:
             self.q.put(None)
 
@@ -178,6 +191,10 @@ class PrefetchingLoader:
     def __next__(self):
         batch = self.q.get()
         if batch is None:
+            if self._exc is not None:
+                raise RuntimeError(
+                    "data-loader producer thread failed"
+                ) from self._exc
             raise StopIteration
         return batch
 
@@ -234,8 +251,13 @@ def build_test_loader(cfg, dataset, batch_size: int = 1):
                 yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)
                 buf = []
         if buf:
+            n_real = len(buf)
             while len(buf) < batch_size:  # pad final batch by repetition
                 buf.append(buf[-1])
-            yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)
+            batch = collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)
+            # mark padding with image_id=-1 so evaluators skip the
+            # duplicated sample instead of scoring it multiple times
+            batch["image_id"][n_real:] = -1
+            yield batch
 
     return gen()

@@ -79,6 +79,8 @@ def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
         for i in range(boxes.shape[0]):
             if max_images is not None and seen >= max_images:
                 break
+            if int(batch["image_id"][i]) < 0:  # final-batch padding
+                continue
             orig_hw = batch["orig_sizes"][i]
             img_boxes = rescale_boxes(
                 boxes[i][valid[i]], batch["image_sizes"][i], orig_hw
@@ -161,6 +163,8 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
         for i in range(b):
             if max_images is not None and seen >= max_images:
                 break
+            if int(batch["image_id"][i]) < 0:  # final-batch padding
+                continue
             orig_h, orig_w = batch["orig_sizes"][i]
             resized_hw = batch["image_sizes"][i]
             img_boxes = rescale_boxes(boxes[i], resized_hw, (orig_h, orig_w))

@@ -56,7 +56,8 @@ class Stage2State(NamedTuple):
 def make_stage2_models(cfg, axis_name: Optional[str] = None):
     det = build_model(cfg, train=True, axis_name=axis_name, return_features=True)
     disc = PatchDiscriminator(
-        in_channels=cfg.MODEL.AFI.IN_CHANNELS, train=True, axis_name=None,
+        in_channels=cfg.MODEL.AFI.IN_CHANNELS, train=True,
+        axis_name=axis_name,  # SyncBN across shards, like stage 1
         dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32,
     )
     guide = build_guide_model(cfg)
@@ -83,6 +84,10 @@ def init_stage2_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Tuple[Stage2S
         classes=jnp.zeros((1, max_gt), jnp.int32),
         valid=jnp.zeros((1, max_gt), bool),
         masks=jnp.zeros((1, max_gt, 28, 28)) if cfg.MODEL.MASK_ON else None,
+        keypoints=(
+            jnp.zeros((1, max_gt, cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS, 3))
+            if cfg.MODEL.KEYPOINT_ON else None
+        ),
     )
     det_vars = det.init({"params": kd, "sampling": ks}, images, sizes, gt)
     d_vars = disc.init(kdd, jnp.zeros((1, h // 4, w // 4, cfg.MODEL.AFI.IN_CHANNELS)))
@@ -208,7 +213,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
         total_loss = sum(jax.tree.leaves(det_losses)) + gan_loss
         metrics = {
             "total_loss": total_loss, "d_loss": d_loss,
-            **{k: v for k, v in det_losses.items()},
+            **det_losses,
             **d_metrics, **g_metrics,
         }
         if axis:

@@ -39,7 +39,13 @@ class PatchDiscriminator(nn.Module):
         for i, w in enumerate(widths):
             y = Conv(
                 w, kernel_size=3, stride=1, padding=1,
-                norm="BN", train=self.train, axis_name=self.axis_name,
+                # "SyncBN" so get_norm honors axis_name inside shard_map
+                # (with axis_name=None it is exactly plain BN). The torch
+                # reference runs plain BN under DDP broadcast_buffers=False
+                # (per-rank unsynced stats — an artifact); syncing makes
+                # the replicated out_specs state well-defined and the
+                # multi-device step equal the full-batch step.
+                norm="SyncBN", train=self.train, axis_name=self.axis_name,
                 kernel_init=c2_msra_fill(), dtype=self.dtype,
                 name=f"discriminators_0/block{i}",
             )(y)

@@ -99,9 +99,55 @@ def test_train_loader_batches(tiny_coco):
     bh, bw = batch["image"].shape[1:3]
     assert [bh, bw] in cfg.TPU.IMAGE_BUCKETS
     assert batch["image_x0.5"].shape[1:3] == (bh // 2, bw // 2)
+    # dual-scale consumers (stages 1-2) only read gt_x0.5; the full-res
+    # gt is not collated (its mask canvases are pure copy waste)
+    assert "gt" not in batch
+    assert batch["gt_x0.5"]["boxes"].shape == (2, 8, 4)
+    assert batch["gt_x0.5"]["masks"].shape == (2, 8, 32, 32)
+    assert batch["gt_x0.5"]["valid"].any()
+
+
+def test_train_loader_serial_num_workers_zero(tiny_coco):
+    """DATALOADER.NUM_WORKERS=0 (the d2 serial/debug convention) must
+    work — ThreadPoolExecutor rejects 0, so the loader clamps to 1."""
+    cfg = _cfg()
+    cfg.DATALOADER.NUM_WORKERS = 0
+    loader = build_train_loader(cfg, tiny_coco, dual_scale=False, seed=0)
+    batch = next(loader)
+    loader.close()
+    assert batch["image"].shape[0] == 2
     assert batch["gt"]["boxes"].shape == (2, 8, 4)
-    assert batch["gt"]["masks"].shape == (2, 8, 32, 32)
-    assert batch["gt"]["valid"].any()
+
+
+def test_train_loader_propagates_mapper_failure(tiny_coco):
+    """A mapper exception must surface at the consumer, not silently end
+    the stream as StopIteration."""
+    from afigan_tpu.data.loader import PrefetchingLoader
+
+    def bad_mapper(record):
+        raise ValueError("corrupt record")
+
+    loader = PrefetchingLoader(
+        tiny_coco.records, iter(TrainingSampler(len(tiny_coco.records))),
+        bad_mapper, batch_size=2, buckets=[[64, 128]],
+    )
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        next(loader)
+    loader.close()
+
+
+def test_test_loader_marks_final_batch_padding(tiny_coco):
+    """batch_size > len(dataset): padded duplicates carry image_id=-1 so
+    evaluators skip them instead of scoring the last image repeatedly."""
+    from afigan_tpu.data.loader import build_test_loader
+
+    cfg = _cfg()
+    batches = list(build_test_loader(cfg, tiny_coco, batch_size=3))
+    n = len(tiny_coco.records)
+    ids = np.concatenate([b["image_id"] for b in batches])
+    real = ids[ids >= 0]
+    assert len(real) == n and len(set(real.tolist())) == n
+    assert (ids < 0).sum() == len(ids) - n
 
 
 def test_crop_transform_geometry():

@@ -251,3 +251,61 @@ def test_stage3_selective_remat_is_numerically_identical():
         losses[mode] = float(metrics["total_loss"])
     assert np.isfinite(losses["selective"])
     assert abs(losses["selective"] - losses[None]) < 1e-3, losses
+
+
+def test_stage2_multidevice_discriminator_bn_syncs():
+    """Stage-2's discriminator must SyncBN across shards like stage 1:
+    one multi-device step on per-shard-different data must produce the
+    same D batch stats and D params as the single-device step on the
+    full batch (D's inputs are sampling-independent pyramid features, so
+    these quantities are exactly comparable)."""
+    from afigan_tpu.engine.stage2 import init_stage2_state, make_stage2_train_step
+
+    cfg = _stage3_cfg()
+    n = 4
+    h = w = 64          # full-res (guide) canvas
+    hh, hw = h // 2, w // 2
+    mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+
+    rng = np.random.RandomState(3)
+    boxes = np.zeros((n, 4, 4), np.float32)
+    boxes[:, 0] = [4, 4, 20, 16]
+    boxes[:, 1] = [10, 12, 30, 28]
+    data = {
+        "image": jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32) * 255),
+        "image_x0.5": jnp.asarray(
+            rng.rand(n, hh, hw, 3).astype(np.float32) * 255
+        ),
+        "image_sizes_x0.5": jnp.asarray([[hh, hw]] * n, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.zeros((n, 4), jnp.int32),
+            valid=jnp.asarray(np.tile([True, True, False, False], (n, 1))),
+            masks=jnp.asarray(rng.rand(n, 4, 28, 28).astype(np.float32)),
+        ),
+    }
+
+    state, guide_vars = init_stage2_state(
+        cfg, jax.random.PRNGKey(0), sample_hw=(hh, hw), max_gt=4
+    )
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_stage2_train_step(cfg)
+    s1, _ = step1(jax.tree.map(jnp.copy, state), guide_vars, data, key)
+
+    stepN = make_stage2_train_step(cfg, mesh=mesh)
+    sN, _ = stepN(
+        replicate(mesh, jax.tree.map(jnp.copy, state)),
+        replicate(mesh, guide_vars),
+        shard_batch(mesh, data),
+        replicate(mesh, key),
+    )
+
+    for a, b in zip(jax.tree.leaves(s1.d_stats), jax.tree.leaves(sN.d_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+    for a, b in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(sN.d_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
