@@ -82,8 +82,9 @@ def _oks_iou_matrix(dts: List[Dict], gts: List[Dict],
         xg, yg, vg = g[0::3], g[1::3], g[2::3]
         k1 = int((vg > 0).sum())
         x0, y0, w, h = gt["bbox"]
-        x1b, x2b = x0 - w * 2, x0 + w * 3
-        y1b, y2b = y0 - h * 2, y0 + h * 3
+        # pycocotools computeOks padded window: [x0-w, x0+2w] x [y0-h, y0+2h]
+        x1b, x2b = x0 - w, x0 + w * 2
+        y1b, y2b = y0 - h, y0 + h * 2
         for i, dt in enumerate(dts):
             d = np.asarray(dt["keypoints"], np.float64)
             xd, yd = d[0::3], d[1::3]
@@ -113,11 +114,29 @@ def _segm_iou_matrix(dt_rles: List, gt_rles: List, iscrowd: np.ndarray) -> np.nd
     return out
 
 
-def _evaluate_img(dts, gts, ious, area_rng, max_det=MAX_DETS):
+def _keypoint_gt_unlabeled(g: Dict) -> bool:
+    """pycocotools keypoint protocol: gts with no labeled keypoints are
+    ignored (gt['ignore'] = num_keypoints == 0)."""
+    if "num_keypoints" in g:
+        return int(g["num_keypoints"]) == 0
+    kp = g.get("keypoints")
+    if kp is None:
+        return True
+    return not (np.asarray(kp, np.float64)[2::3] > 0).any()
+
+
+def _evaluate_img(dts, gts, ious, area_rng, max_det=MAX_DETS,
+                  keypoints_mode=False):
     """Greedy matching for one (img, cat, area-range); returns match arrays."""
     T = len(IOU_THRS)
     gt_ig = np.array(
-        [g["iscrowd"] or g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts],
+        [
+            g["iscrowd"]
+            or g["area"] < area_rng[0]
+            or g["area"] > area_rng[1]
+            or (keypoints_mode and _keypoint_gt_unlabeled(g))
+            for g in gts
+        ],
         dtype=bool,
     ) if gts else np.zeros(0, bool)
     # gts sorted: non-ignored first (stable)
@@ -202,13 +221,23 @@ class CocoEvalNP:
                 g["area"] = g["bbox"][2] * g["bbox"][3]
             self._gts[(g["image_id"], g["category_id"])].append(g)
         for d in dt_anns:
-            if "area" not in d:
-                # pycocotools protocol: for segm, area-range ignore decisions
-                # use the MASK area, not the bbox area (ref coco_evaluation).
-                if iou_type == "segm" and "segmentation" in d:
-                    d["area"] = float(rle_area(d["segmentation"]))
-                else:
-                    d["area"] = d["bbox"][2] * d["bbox"][3]
+            # Per-task dt area (pycocotools loadRes semantics): segm uses
+            # the MASK area, keypoints the keypoint-extent area, bbox the
+            # box area. The prediction dicts are SHARED across the tasks'
+            # CocoEvalNP instances, so shallow-copy before writing — a
+            # prior task's area must not leak into this one (bbox w*h
+            # clobbering segm mask areas skews APs/APm/APl).
+            d = dict(d)
+            if iou_type == "segm" and "segmentation" in d:
+                d["area"] = float(rle_area(d["segmentation"]))
+            elif iou_type == "keypoints" and "keypoints" in d:
+                kp = np.asarray(d["keypoints"], np.float64)
+                xs, ys = kp[0::3], kp[1::3]
+                d["area"] = float(
+                    (xs.max() - xs.min()) * (ys.max() - ys.min())
+                ) if len(xs) else 0.0
+            else:
+                d["area"] = d["bbox"][2] * d["bbox"][3]
             self._dts[(d["image_id"], d["category_id"])].append(d)
 
     def run(self) -> Dict[str, float]:
@@ -248,7 +277,10 @@ class CocoEvalNP:
                     )
                 per_img.append(
                     {
-                        rng_name: _evaluate_img(dts, gts, ious, rng, max_det)
+                        rng_name: _evaluate_img(
+                            dts, gts, ious, rng, max_det,
+                            keypoints_mode=self.iou_type == "keypoints",
+                        )
                         for rng_name, rng in self.area_rng.items()
                     }
                 )

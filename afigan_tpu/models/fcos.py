@@ -235,7 +235,6 @@ class FCOS(nn.Module):
 
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         locations_l = compute_locations(shapes, self.fpn_strides)
-        b = images.shape[0]
 
         if self.train:
             assert gt is not None
@@ -287,9 +286,13 @@ class FCOS(nn.Module):
         )(gt.boxes, gt.classes, gt.valid)
 
         pos = labels >= 0
-        num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        # pmean BEFORE the clamp (AdelaiDet: max(total/num_gpus, 1.0)) —
+        # clamping per device first would bias the normalizer up whenever
+        # any shard has zero positives
+        num_pos = jnp.sum(pos.astype(jnp.float32))
         if self.axis_name:
             num_pos = jax.lax.pmean(num_pos, self.axis_name)
+        num_pos = jnp.maximum(num_pos, 1.0)
 
         onehot = jax.nn.one_hot(jnp.clip(labels, 0), self.num_classes)
         onehot = onehot * pos[..., None]
@@ -305,9 +308,10 @@ class FCOS(nn.Module):
                 0.0,
             )
         )
-        ctr_norm = jnp.maximum(jnp.sum(jnp.where(pos, ctr_t, 0.0)), 1e-6)
+        ctr_norm = jnp.sum(jnp.where(pos, ctr_t, 0.0))
         if self.axis_name:
             ctr_norm = jax.lax.pmean(ctr_norm, self.axis_name)
+        ctr_norm = jnp.maximum(ctr_norm, 1e-6)  # clamp AFTER the mean
 
         giou = _giou_loss(
             flat_regs.reshape(-1, 4), reg_targets.reshape(-1, 4)

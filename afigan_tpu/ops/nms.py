@@ -26,17 +26,6 @@ from .boxes import pairwise_iou
 _NEG_INF = -1.0e10
 
 
-def _iou_one_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-    lt = jnp.maximum(box[:2], boxes[:, :2])
-    rb = jnp.minimum(box[2:], boxes[:, 2:])
-    wh = jnp.clip(rb - lt, 0.0, None)
-    inter = wh[:, 0] * wh[:, 1]
-    a1 = (box[2] - box[0]) * (box[3] - box[1])
-    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    union = a1 + a2 - inter
-    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-
-
 def nms_keep_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -82,13 +71,19 @@ def nms_keep_mask(
         blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block_size, 4))
         blk_keep = jax.lax.dynamic_slice(keep, (start,), (block_size,))
 
+        # one (B, Npad) IoU per block; the intra-block matrix is its
+        # [start : start+B] column slice (no second pairwise_iou)
+        iou_bn = pairwise_iou(blk_boxes, boxes_s)  # (B, Npad)
+
         # --- resolve suppression inside the block: self-suppression
         # fixpoint (TF non_max_suppression_padded style). Iterating
         # k[i] <- valid[i] & ~∃j (k[j] & S[j,i]) stabilizes a growing
         # prefix each sweep → converges to the exact greedy result in
         # ≤ chain-depth iterations (typically 2-4) instead of B
         # sequential element steps.
-        iou_bb = pairwise_iou(blk_boxes, blk_boxes)
+        iou_bb = jax.lax.dynamic_slice(
+            iou_bn, (0, start), (block_size, block_size)
+        )
         col = jnp.arange(block_size)
         supp_mat = (iou_bb > iou_threshold) & (col[None, :] > col[:, None])
 
@@ -106,7 +101,6 @@ def nms_keep_mask(
         keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
 
         # --- suppress all later boxes in one vectorized shot ---
-        iou_bn = pairwise_iou(blk_boxes, boxes_s)  # (B, Npad)
         later = jnp.arange(boxes_s.shape[0]) >= (start + block_size)
         suppressed_later = jnp.any(
             blk_keep[:, None] & (iou_bn > iou_threshold), axis=0

@@ -245,3 +245,85 @@ def test_allgather_pyobj_roundtrip():
     ]
     out = allgather_pyobj(preds)
     assert out == preds
+
+
+def test_segm_area_not_clobbered_by_bbox_task():
+    """Sequential bbox-then-segm evaluation over the SAME prediction
+    dicts: the segm task's area-range decisions must use the MASK area
+    (pycocotools loadRes), not the bbox area the bbox task computed.
+    A detection with a large box but a tiny mask must land in APs, not
+    APl, for segm."""
+    from afigan_tpu.evaluation.rle import encode_mask
+
+    tiny = np.zeros((200, 200), np.uint8)
+    tiny[10:40, 10:40] = 1  # 900 px  -> 'small' (< 32^2)
+    rle = encode_mask(tiny)
+
+    g = _ann(1, 1, [0, 0, 150, 150])  # big box
+    g["segmentation"] = rle
+    g["area"] = 900.0  # gt area = mask area (COCO convention)
+    d = _ann(1, 1, [0, 0, 150, 150], score=0.9)  # big box, tiny mask
+    d["segmentation"] = rle
+
+    # bbox task first: mutated-shared-dict bug wrote bbox w*h into d
+    res_bbox = CocoEvalNP([g], [dict(d)], img_ids=[1], cat_ids=[1],
+                          iou_type="bbox").run()
+    # wait-for-it: run bbox on the SAME dict object, then segm on it
+    shared = d
+    CocoEvalNP([g], [shared], img_ids=[1], cat_ids=[1], iou_type="bbox").run()
+    res_segm = CocoEvalNP([g], [shared], img_ids=[1], cat_ids=[1],
+                          iou_type="segm").run()
+    assert abs(res_segm["APs"] - 100.0) < 1e-6, res_segm
+    assert np.isnan(res_segm["APl"]), res_segm  # no large gt/dt
+    # bbox task scores normally too (gt area is the mask area per COCO)
+    assert abs(res_bbox["APs"] - 100.0) < 1e-6, res_bbox
+
+
+def test_keypoints_unlabeled_gt_ignored():
+    """pycocotools keypoint protocol: gts with num_keypoints == 0 are
+    IGNORED — they don't count toward recall and detections matching
+    them are discarded, not scored as TP/FP."""
+    def kp_ann(img, box, kpts, score=None, num_kp=None):
+        a = _ann(img, 1, box, score=score)
+        a["keypoints"] = kpts
+        a["area"] = box[2] * box[3]
+        if num_kp is not None:
+            a["num_keypoints"] = num_kp
+        return a
+
+    labeled = []
+    for k in range(17):
+        labeled += [10.0 + 2 * k, 20.0 + k, 2]
+    unlabeled = [0.0, 0.0, 0] * 17
+
+    gts = [
+        kp_ann(1, [10, 20, 40, 20], labeled, num_kp=17),
+        kp_ann(1, [100, 100, 40, 20], unlabeled, num_kp=0),  # must be ignored
+    ]
+    # one perfect detection on the labeled gt only
+    dts = [kp_ann(1, [10, 20, 40, 20], labeled, score=0.9)]
+    res = CocoEvalNP(gts, dts, img_ids=[1], cat_ids=[1],
+                     iou_type="keypoints").run()
+    # with the unlabeled gt ignored, recall denominator is 1 -> AP 100
+    assert abs(res["AP"] - 100.0) < 1e-6, res
+
+
+def test_oks_fallback_window_matches_pycocotools():
+    """For an all-unlabeled gt, computeOks measures distance to the
+    window [x0-w, x0+2w] x [y0-h, y0+2h]; keypoints 1-2 box-widths out
+    must get OKS < 1 (the old [x0-2w, x0+3w] window gave them 0 dist)."""
+    from afigan_tpu.evaluation.coco_eval import _oks_iou_matrix
+
+    gt = {
+        "keypoints": [0.0, 0.0, 0] * 17,
+        "bbox": [100.0, 100.0, 20.0, 20.0],
+        "area": 400.0,
+    }
+    # detection keypoints at x = 100 - 30 (1.5 widths left of the box)
+    kpts = []
+    for k in range(17):
+        kpts += [70.0, 110.0, 2]
+    dt = {"keypoints": kpts}
+    oks = _oks_iou_matrix([dt], [gt])[0, 0]
+    # pycocotools window starts at x0-w=80 -> dx=10 -> OKS well below 1
+    assert oks < 0.99, oks
