@@ -34,12 +34,20 @@ def _rasterize_to_canvas(segm, box, canvas: int, tf: ResolvedTransform) -> np.nd
     if isinstance(segm, dict):  # RLE in ORIGINAL image coords
         m = decode_rle(segm).astype(np.float32)
         m = tf.apply_image(m, interp="nearest")[:, :, 0]
-        xi1, yi1 = int(np.floor(x1)), int(np.floor(y1))
-        xi2, yi2 = int(np.ceil(x2)), int(np.ceil(y2))
-        crop = m[max(yi1, 0) : max(yi2, 0), max(xi1, 0) : max(xi2, 0)]
-        if crop.size == 0:
-            return np.zeros((canvas, canvas), np.float32)
-        return cv2.resize(crop, (canvas, canvas), interpolation=cv2.INTER_LINEAR)
+        # sample the EXACT float box (cv2.resize pixel-center semantics:
+        # dst center (x+0.5) -> src x1 + (x+0.5)*w/canvas - 0.5) — an
+        # integer floor/ceil crop would misalign the canvas by up to a
+        # pixel per edge vs the polygon path, which maps the float box.
+        sx, sy = w / canvas, h / canvas
+        M = np.array(
+            [[sx, 0.0, x1 + 0.5 * sx - 0.5],
+             [0.0, sy, y1 + 0.5 * sy - 0.5]], np.float32
+        )
+        return cv2.warpAffine(
+            m, M, (canvas, canvas),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+        )
     # polygons: transform then shift/scale into canvas coords directly
     polys = tf.apply_polygons(segm)
     shifted = []
@@ -110,7 +118,7 @@ class DatasetMapper:
                 )
             tf = sample_train_transform(
                 self.rng, h, w, self.min_sizes, self.max_size, self.sampling,
-                crop=crop, color_ranges=self.color_ranges,
+                crop=crop, color_ranges=self.color_ranges, fmt=self.fmt,
             )
         else:
             tf = test_transform(h, w, self.min_sizes[0], self.max_size)
@@ -123,32 +131,46 @@ class DatasetMapper:
             "transform": tf,
         }
 
+        sel = None
         if self.is_train:
-            out["gt"] = self._make_gt(record, tf)
+            out["gt"], sel = self._make_gt(record, tf)
         if self.dual_scale:
             tf_half = tf.at_scale(0.5)
             out["image_x0.5"] = tf_half.apply_image(img).astype(np.float32)
             if self.is_train:
-                out["gt_x0.5"] = self._make_gt(record, tf_half, share_masks=out.get("gt"))
+                # reuse the full-res instance selection so gt and gt_x0.5
+                # slots stay aligned (the shared mask canvases require it)
+                out["gt_x0.5"], _ = self._make_gt(
+                    record, tf_half, share_masks=out.get("gt"), sel=sel
+                )
         return out
 
     def _make_gt(self, record: Dict, tf: ResolvedTransform,
-                 share_masks: Optional[Dict] = None) -> Dict:
+                 share_masks: Optional[Dict] = None, sel=None):
         objs = [o for o in record.get("annotations", []) if not o.get("iscrowd", 0)]
-        objs = objs[: self.max_gt]
-        n = len(objs)
         boxes = np.zeros((self.max_gt, 4), np.float32)
         classes = np.zeros((self.max_gt,), np.int32)
         valid = np.zeros((self.max_gt,), bool)
-        if n:
+        n = 0
+        if objs:
             raw = np.asarray([o["bbox"] for o in objs], np.float32)
             tb = tf.apply_boxes(raw)
             tb[:, 0::2] = np.clip(tb[:, 0::2], 0, tf.new_w)
             tb[:, 1::2] = np.clip(tb[:, 1::2], 0, tf.new_h)
             keep = (tb[:, 2] > tb[:, 0] + 1e-3) & (tb[:, 3] > tb[:, 1] + 1e-3)
+            if sel is None:
+                # d2 filters crop/transform-invalidated instances BEFORE
+                # the capacity cap — cropped-out objects must not occupy
+                # MAX_GT slots while in-crop ones are dropped
+                sel = np.flatnonzero(keep)[: self.max_gt]
+            objs = [objs[i] for i in sel]
+            tb = tb[sel]
+            n = len(objs)
             boxes[:n] = tb
             classes[:n] = [o["category_id"] for o in objs]
-            valid[:n] = keep
+            # keep flags at THIS scale (the shared sel comes from the
+            # full-res pass; a halved borderline box can still degenerate)
+            valid[:n] = keep[sel]
         gt = {"boxes": boxes, "classes": classes, "valid": valid}
         if self.keypoint_on:
             kp = np.zeros((self.max_gt, self.num_keypoints, 3), np.float32)
@@ -177,4 +199,4 @@ class DatasetMapper:
                             o["segmentation"], boxes[i], self.mask_canvas, tf
                         )
                 gt["masks"] = masks
-        return gt
+        return gt, sel

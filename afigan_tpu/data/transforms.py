@@ -21,6 +21,18 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+def hflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
+    """Horizontally flip (N, 4) xyxy boxes in a width-wide image — the
+    single definition of the flip convention (d2 HFlipTransform:
+    x -> w - x, so x1' = w - x2, x2' = w - x1). Used by the training
+    transform AND both TTA flip/unflip paths so they cannot diverge."""
+    out = np.asarray(boxes, np.float32).copy()
+    x1 = width - out[:, 2]
+    x2 = width - out[:, 0]
+    out[:, 0], out[:, 2] = x1, x2
+    return out
+
+
 @dataclasses.dataclass
 class ResolvedTransform:
     """One sampled augmentation, replayable at any scale ratio.
@@ -42,6 +54,9 @@ class ResolvedTransform:
     brightness: float = 1.0
     contrast: float = 1.0
     saturation: float = 1.0
+    # channel order of the decoded image (INPUT.FORMAT): the saturation
+    # grayscale weights depend on it
+    fmt: str = "BGR"
 
     @property
     def src_h(self) -> int:
@@ -77,19 +92,22 @@ class ResolvedTransform:
         return np.ascontiguousarray(out)
 
     def _apply_color(self, img: np.ndarray) -> np.ndarray:
-        """d2 BlendTransform numerics: out = w*img + (1-w)*target."""
+        """d2 BlendTransform numerics: out = w*img + (1-w)*target, then
+        clip to the uint8 range (BlendTransform clips for uint8 inputs —
+        brightness/contrast > 1 must not push pixels past 255)."""
         if self.brightness != 1.0:
             img = self.brightness * img  # target = 0
         if self.contrast != 1.0:
             img = self.contrast * img + (1 - self.contrast) * img.mean()
         if self.saturation != 1.0:
-            # d2 RandomSaturation: grayscale via BGR [0.114, 0.587, 0.299]
-            # (assumes BGR input, the d2/Caffe2 INPUT.FORMAT default)
-            gray = (img * np.array([0.114, 0.587, 0.299], np.float32)).sum(
-                -1, keepdims=True
-            )
+            # d2 RandomSaturation grayscale weights are per-channel-order:
+            # BGR [0.114, 0.587, 0.299]; reversed for INPUT.FORMAT=RGB
+            wts = np.array([0.114, 0.587, 0.299], np.float32)
+            if self.fmt == "RGB":
+                wts = wts[::-1]
+            gray = (img * wts).sum(-1, keepdims=True)
             img = self.saturation * img + (1 - self.saturation) * gray
-        return img
+        return np.clip(img, 0.0, 255.0)
 
     def apply_boxes(self, boxes: np.ndarray) -> np.ndarray:
         """(N, 4) xyxy in original coords -> transformed coords."""
@@ -105,9 +123,7 @@ class ResolvedTransform:
         out[:, [0, 2]] *= sx
         out[:, [1, 3]] *= sy
         if self.hflip:
-            x1 = self.new_w - out[:, 2]
-            x2 = self.new_w - out[:, 0]
-            out[:, 0], out[:, 2] = x1, x2
+            out = hflip_boxes(out, self.new_w)
         return out
 
     def apply_keypoints(self, keypoints: np.ndarray,
@@ -131,8 +147,15 @@ class ResolvedTransform:
         kp[..., 1] *= self.new_h / self.src_h
         if self.hflip:
             kp[..., 0] = self.new_w - kp[..., 0]
-            if hflip_indices is not None:
-                kp = kp[:, np.asarray(hflip_indices, np.int64)]
+            if hflip_indices is None:
+                # d2 transform_keypoint_annotations raises here: flipping
+                # without the left/right permutation silently trains
+                # left keypoints on right-side pixels
+                raise ValueError(
+                    "Cannot flip keypoints without keypoint_hflip_indices "
+                    "(the dataset's categories must list keypoint names)"
+                )
+            kp = kp[:, np.asarray(hflip_indices, np.int64)]
         inside = (
             (kp[..., 0] >= 0) & (kp[..., 0] <= self.new_w)
             & (kp[..., 1] >= 0) & (kp[..., 1] <= self.new_h)
@@ -159,7 +182,10 @@ class ResolvedTransform:
 
 
 def _shortest_edge_size(h: int, w: int, short: int, max_size: int) -> Tuple[int, int]:
-    """d2 ResizeShortestEdge.get_output_shape numerics."""
+    """d2 ResizeShortestEdge.get_output_shape numerics; size 0 means
+    no resize (the d2 convention for disabling test-time resize)."""
+    if short == 0:
+        return h, w
     scale = short / min(h, w)
     if h < w:
         nh, nw = short, scale * w
@@ -200,6 +226,10 @@ def sample_crop(rng: np.random.RandomState, crop_type: str,
         return y0, x0, ch, cw
     cy = (instance_box[1] + instance_box[3]) * 0.5
     cx = (instance_box[0] + instance_box[2]) * 0.5
+    # clamp off-image centers (corrupt annotations exist in COCO jsons)
+    # so the randint ranges below stay non-empty
+    cy = min(max(cy, 0.0), float(h))
+    cx = min(max(cx, 0.0), float(w))
     min_y = max(int(np.floor(cy)) - ch, 0)
     min_x = max(int(np.floor(cx)) - cw, 0)
     max_y = min(max(h - ch, 0), int(np.ceil(cy)))
@@ -219,6 +249,7 @@ def sample_train_transform(
     flip_prob: float = 0.5,
     crop: Optional[Tuple[int, int, int, int]] = None,
     color_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    fmt: str = "BGR",
 ) -> ResolvedTransform:
     if sampling == "choice":
         short = int(rng.choice(list(min_sizes)))
@@ -232,7 +263,7 @@ def sample_train_transform(
             lo, hi = color_ranges[name]
             kw[name] = float(rng.uniform(lo, hi))
     return ResolvedTransform(
-        h, w, nh, nw, bool(rng.rand() < flip_prob), crop=crop, **kw
+        h, w, nh, nw, bool(rng.rand() < flip_prob), crop=crop, fmt=fmt, **kw
     )
 
 

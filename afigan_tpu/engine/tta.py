@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.transforms import test_transform
+from ..data.transforms import hflip_boxes, test_transform
 from ..evaluation.coco_eval import CocoEvaluator
 from ..ops.image_list import (choose_bucket, pad_to_canvas,
                               required_size_divisibility)
@@ -47,54 +47,68 @@ def _forward_one(apply_fn, variables, img: np.ndarray, cfg):
     )
 
 
+def _tta_variants(cfg, img):
+    """All (resized_image, flipped) TTA variants of ``img`` — one resize
+    per MIN_SIZE, shared by the detection AND mask passes."""
+    oh, ow = img.shape[:2]
+    out = []
+    for min_size in cfg.TEST.AUG.MIN_SIZES:
+        tf = test_transform(oh, ow, min_size, cfg.TEST.AUG.MAX_SIZE)
+        resized = tf.apply_image(img)
+        out.append((resized, False))
+        if cfg.TEST.AUG.FLIP:
+            out.append((np.ascontiguousarray(resized[:, ::-1]), True))
+    return out
+
+
 def averaged_tta_masks(cfg, mask_fn, variables, img, merged_boxes,
-                       merged_scores, merged_classes, merged_valid):
+                       merged_scores, merged_classes, merged_valid,
+                       variants=None):
     """d2 GeneralizedRCNNWithTTA mask fusion: run the mask branch on the
     MERGED boxes under EVERY (scale, flip) augmentation and average the
     mask PROBABILITIES (ref run_net.py:51-66 — the README's dagger mask
     rows measure exactly this). Returns ((D, S, S) averaged probs, n_aug).
+
+    ``variants``: optional precomputed [(resized_image, flipped)] list —
+    run_tta_inference passes the ones it already built for the detection
+    pass so each image is not resized twice per scale.
     """
     from ..models.box_head import Detections
 
     oh, ow = img.shape[:2]
+    if variants is None:
+        variants = _tta_variants(cfg, img)
+    assert variants, "TEST.AUG.MIN_SIZES must be non-empty for TTA"
     prob_sum = None
     n_aug = 0
-    for min_size in cfg.TEST.AUG.MIN_SIZES:
-        tf = test_transform(oh, ow, min_size, cfg.TEST.AUG.MAX_SIZE)
-        resized = tf.apply_image(img)
-        rh, rw = resized.shape[:2]
-        variants = [(resized, False)]
-        if cfg.TEST.AUG.FLIP:
-            variants.append((np.ascontiguousarray(resized[:, ::-1]), True))
-        for image_v, flipped in variants:
-            canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS,
-                                   required_size_divisibility(cfg))
-            padded = pad_to_canvas(image_v.astype(np.float32), canvas)
-            sb = merged_boxes.copy()
-            sb[:, 0::2] *= rw / ow
-            sb[:, 1::2] *= rh / oh
-            if flipped:
-                x1 = rw - sb[:, 2]
-                x2 = rw - sb[:, 0]
-                sb = np.stack([x1, sb[:, 1], x2, sb[:, 3]], axis=1)
-            dets = Detections(
-                boxes=jnp.asarray(sb),
-                scores=jnp.asarray(merged_scores),
-                classes=jnp.asarray(merged_classes),
-                valid=jnp.asarray(merged_valid),
-            )
-            dets_b = jax.tree.map(lambda a: a[None], dets)
-            _, masks = mask_fn(
-                variables, jnp.asarray(padded[None]),
-                jnp.asarray([[rh, rw]], jnp.int32), dets_b,
-            )
-            m = np.asarray(masks)[0]  # (D, S, S) probabilities
-            if flipped:
-                # a flipped-image mask is the mirror of the original crop
-                m = m[:, :, ::-1]
-            prob_sum = m if prob_sum is None else prob_sum + m
-            n_aug += 1
-    return prob_sum / max(n_aug, 1), n_aug
+    for image_v, flipped in variants:
+        rh, rw = image_v.shape[:2]
+        canvas = choose_bucket(rh, rw, cfg.TPU.IMAGE_BUCKETS,
+                               required_size_divisibility(cfg))
+        padded = pad_to_canvas(image_v.astype(np.float32), canvas)
+        sb = merged_boxes.copy()
+        sb[:, 0::2] *= rw / ow
+        sb[:, 1::2] *= rh / oh
+        if flipped:
+            sb = hflip_boxes(sb, rw)
+        dets = Detections(
+            boxes=jnp.asarray(sb),
+            scores=jnp.asarray(merged_scores),
+            classes=jnp.asarray(merged_classes),
+            valid=jnp.asarray(merged_valid),
+        )
+        dets_b = jax.tree.map(lambda a: a[None], dets)
+        _, masks = mask_fn(
+            variables, jnp.asarray(padded[None]),
+            jnp.asarray([[rh, rw]], jnp.int32), dets_b,
+        )
+        m = np.asarray(masks)[0]  # (D, S, S) probabilities
+        if flipped:
+            # a flipped-image mask is the mirror of the original crop
+            m = m[:, :, ::-1]
+        prob_sum = m if prob_sum is None else prob_sum + m
+        n_aug += 1
+    return prob_sum / n_aug, n_aug
 
 
 def run_tta_inference(cfg, model, variables, dataset,
@@ -126,24 +140,17 @@ def run_tta_inference(cfg, model, variables, dataset,
         img = read_image(rec["file_name"], cfg.INPUT.FORMAT)
         oh, ow = img.shape[:2]
 
+        variants = _tta_variants(cfg, img)
         all_boxes, all_scores, all_classes, all_valid = [], [], [], []
-        for min_size in cfg.TEST.AUG.MIN_SIZES:
-            tf = test_transform(oh, ow, min_size, cfg.TEST.AUG.MAX_SIZE)
-            resized = tf.apply_image(img)
-            variants = [(resized, False)]
-            if cfg.TEST.AUG.FLIP:
-                variants.append((np.ascontiguousarray(resized[:, ::-1]), True))
-            for image_v, flipped in variants:
-                b, s, c, v = _forward_one(apply_fn, variables, image_v, cfg)
-                b = rescale_boxes(b, image_v.shape[:2], (oh, ow))
-                if flipped:
-                    x1 = ow - b[:, 2]
-                    x2 = ow - b[:, 0]
-                    b = np.stack([x1, b[:, 1], x2, b[:, 3]], axis=1)
-                all_boxes.append(b)
-                all_scores.append(s)
-                all_classes.append(c)
-                all_valid.append(v)
+        for image_v, flipped in variants:
+            b, s, c, v = _forward_one(apply_fn, variables, image_v, cfg)
+            b = rescale_boxes(b, image_v.shape[:2], (oh, ow))
+            if flipped:
+                b = hflip_boxes(b, ow)
+            all_boxes.append(b)
+            all_scores.append(s)
+            all_classes.append(c)
+            all_valid.append(v)
 
         boxes = np.concatenate(all_boxes)
         scores = np.concatenate(all_scores)
@@ -163,6 +170,7 @@ def run_tta_inference(cfg, model, variables, dataset,
             avg, _ = averaged_tta_masks(
                 cfg, mask_fn, variables, img,
                 merged_boxes, merged_scores, merged_classes, merged_valid,
+                variants=variants,
             )
             pasted = paste_masks(avg, merged_boxes, merged_valid, oh, ow)
             full_masks = [pasted]

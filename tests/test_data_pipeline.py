@@ -251,3 +251,129 @@ def test_keypoint_transform_flip_swap_and_visibility():
                                          [160.0, 20.0, 2.0]]], np.float32))
     assert out[0, 0, 2] == 0.0 and tuple(out[0, 0, :2]) == (0.0, 0.0)
     np.testing.assert_allclose(out[0, 1], [30.0, 10.0, 2.0])
+
+
+def test_resize_zero_means_no_resize():
+    """d2 convention: size 0 disables resizing (NoOpTransform)."""
+    tf = eval_transform(50, 70, 0, 4000)
+    assert (tf.new_h, tf.new_w) == (50, 70)
+    img = np.random.RandomState(0).rand(50, 70, 3).astype(np.float32)
+    out = tf.apply_image(img)
+    assert out.shape == (50, 70, 3)
+
+
+def test_keypoint_flip_without_indices_raises():
+    """d2 transform_keypoint_annotations raises when flipping without
+    keypoint_hflip_indices — silent wrong laterality is worse."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    tf = ResolvedTransform(40, 40, 40, 40, hflip=True)
+    kp = np.zeros((1, 17, 3), np.float32)
+    kp[..., 2] = 2
+    with pytest.raises(ValueError, match="hflip_indices"):
+        tf.apply_keypoints(kp, hflip_indices=None)
+    # with indices: fine
+    out = tf.apply_keypoints(kp, hflip_indices=list(range(17)))
+    assert out.shape == (1, 17, 3)
+
+
+def test_color_jitter_clips_to_uint8_range():
+    """BlendTransform clips to [0, 255] for uint8 sources; brightness
+    1.2 on a bright image must not exceed 255."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    tf = ResolvedTransform(8, 8, 8, 8, hflip=False, brightness=1.3)
+    img = np.full((8, 8, 3), 250, np.float32)
+    out = tf.apply_image(img)
+    assert out.max() <= 255.0
+    tf2 = ResolvedTransform(8, 8, 8, 8, hflip=False, contrast=1.5)
+    img2 = np.zeros((8, 8, 3), np.float32)
+    img2[0, 0] = 255
+    assert tf2.apply_image(img2).min() >= 0.0
+
+
+def test_saturation_weights_follow_channel_format():
+    """RGB images must use reversed grayscale weights vs BGR."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[..., 0] = 200.0  # channel 0 dominant
+    bgr = ResolvedTransform(4, 4, 4, 4, False, saturation=0.0, fmt="BGR")
+    rgb = ResolvedTransform(4, 4, 4, 4, False, saturation=0.0, fmt="RGB")
+    g_bgr = bgr.apply_image(img)[0, 0, 0]   # gray = 0.114 * 200
+    g_rgb = rgb.apply_image(img)[0, 0, 0]   # gray = 0.299 * 200
+    assert abs(g_bgr - 0.114 * 200) < 1e-3
+    assert abs(g_rgb - 0.299 * 200) < 1e-3
+
+
+def test_sample_crop_off_image_instance_center():
+    """Corrupt annotations with centers outside the image must not crash
+    the crop sampler (rng.randint low>=high)."""
+    from afigan_tpu.data.transforms import sample_crop
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        y0, x0, ch, cw = sample_crop(
+            rng, "relative", (0.5, 0.5), 100, 100,
+            instance_box=[90, 990, 110, 1010],  # center y=1000 > h
+        )
+        assert 0 <= y0 <= 100 - ch and 0 <= x0 <= 100 - cw
+
+
+def test_make_gt_filters_before_capacity_cap(tiny_coco):
+    """Instances invalidated by the transform must not occupy MAX_GT
+    slots while valid ones are dropped (d2 filters empty instances
+    post-transform, pre-cap)."""
+    from afigan_tpu.data.transforms import ResolvedTransform
+    from afigan_tpu.data.dataset_mapper import DatasetMapper
+
+    cfg = _cfg()
+    cfg.TPU.MAX_GT_BOXES = 2
+    mapper = DatasetMapper(cfg, is_train=True, seed=0)
+    # synthetic record: 2 out-of-crop boxes first, then 2 in-crop ones
+    record = {
+        "file_name": tiny_coco.records[0]["file_name"],
+        "image_id": 1,
+        "annotations": [
+            {"bbox": [0, 0, 5, 5], "category_id": 0, "iscrowd": 0},
+            {"bbox": [1, 1, 6, 6], "category_id": 0, "iscrowd": 0},
+            {"bbox": [60, 60, 80, 80], "category_id": 1, "iscrowd": 0},
+            {"bbox": [70, 70, 90, 90], "category_id": 2, "iscrowd": 0},
+        ],
+    }
+    # crop window (50, 50, 50x50) excludes the first two boxes entirely
+    tf = ResolvedTransform(100, 100, 50, 50, hflip=False,
+                           crop=(50, 50, 50, 50))
+    gt, sel = mapper._make_gt(record, tf)
+    assert gt["valid"].sum() == 2
+    assert set(gt["classes"][gt["valid"]].tolist()) == {1, 2}
+    assert list(sel) == [2, 3]
+
+
+def test_rle_canvas_matches_polygon_canvas():
+    """The RLE rasterization path must produce the same box-relative
+    canvas as the polygon path for the same rectangle — the RLE branch
+    samples the EXACT float box (an integer floor/ceil crop shifted the
+    canvas by up to a pixel per edge)."""
+    from afigan_tpu.data.dataset_mapper import _rasterize_to_canvas
+    from afigan_tpu.data.transforms import ResolvedTransform
+    from afigan_tpu.evaluation.rle import encode_mask
+
+    # rectangle [12, 8] .. [43, 29] in a 60x80 image
+    m = np.zeros((60, 80), np.uint8)
+    m[8:30, 12:44] = 1
+    rle = encode_mask(m)
+    poly = [[12, 8, 44, 8, 44, 30, 12, 30]]
+
+    tf = ResolvedTransform(60, 80, new_h=45, new_w=60, hflip=False)
+    # transformed box has FRACTIONAL coords (scale 0.75): [9, 6, 33, 22.5]
+    box = tf.apply_boxes(np.array([[12, 8, 44, 30]], np.float32))[0]
+    c_rle = _rasterize_to_canvas(rle, box, 28, tf)
+    c_poly = _rasterize_to_canvas(poly, box, 28, tf)
+    # same support: the canvases agree except on anti-aliased borders
+    inter = ((c_rle > 0.5) & (c_poly > 0.5)).sum()
+    union = ((c_rle > 0.5) | (c_poly > 0.5)).sum()
+    assert union > 0 and inter / union > 0.9, (inter, union)
+    # interiors are fully on
+    assert c_rle[10:18, 10:18].min() > 0.9
+    assert c_poly[10:18, 10:18].min() > 0.9
