@@ -21,7 +21,6 @@ TPU redesign of the reference's most elaborate auxiliary subsystem
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -89,6 +88,11 @@ def _find_subtree(tree: Dict, key: str) -> Optional[Tuple[Tuple[str, ...], Dict]
 
 
 def _check_shapes_match(dst: Dict, src: Dict, path: str = "") -> None:
+    """Both-ways structural check: every src leaf must exist in dst with
+    the same shape AND every dst leaf must be covered by src — the src
+    subtree REPLACES dst wholesale, so a partial src (older format,
+    interrupted save) would silently drop destination leaves and fail far
+    from the load site."""
     for k, v in src.items():
         p = f"{path}/{k}"
         if k not in dst:
@@ -101,6 +105,12 @@ def _check_shapes_match(dst: Dict, src: Dict, path: str = "") -> None:
                     f"surgery: shape mismatch at {p}: "
                     f"{np.shape(dst[k])} vs {np.shape(v)}"
                 )
+    for k in dst:
+        if k not in src:
+            raise KeyError(
+                f"surgery: {path}/{k} present in destination but missing "
+                f"from the transplanted tree (incomplete source?)"
+            )
 
 
 def transplant_generator(det_params: Dict, g_params: Dict) -> Dict:

@@ -66,10 +66,39 @@ def make_trainable_mask(
 
 
 def frozen_bn_predicate(path: str) -> bool:
-    """FrozenBatchNorm params are buffers (d2: requires_grad=False)."""
+    """FrozenBatchNorm params are buffers (d2: requires_grad=False).
+
+    Path-only form catches the mean/var leaves; the scale/bias leaves of
+    FrozenBN are indistinguishable from trainable BN/GN by path alone,
+    so ``build_optimizer`` additionally freezes every sibling of a
+    params-collection ``mean`` leaf (only FrozenBN keeps its statistics
+    in params — live BN stats live in batch_stats)."""
     return "FrozenBatchNorm" in path or (
         path.endswith(("/mean", "/var")) and "norm" in path.lower()
     )
+
+
+def _frozen_bn_prefixes(params) -> frozenset:
+    """Module prefixes of FrozenBatchNorm instances: exactly the params
+    subtrees that carry a ``mean`` leaf (live-BN means are in the
+    batch_stats collection, never in params)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    return frozenset(
+        _path_str(path).rsplit("/", 1)[0]
+        for path, _ in flat
+        if _path_str(path).endswith("/mean")
+    )
+
+
+def _is_norm_param(ps: str) -> bool:
+    """d2 classifies by module type (BN/SyncBN/FrozenBN/GN/LN); our norm
+    modules are consistently named norm / norm1 / norm2 / patch_norm /
+    norm_p3... (Swin) or <level>_bn (BiFPN), so the parent name decides."""
+    if not ps.endswith(("/bias", "/scale", "/mean", "/var")):
+        return False
+    parts = ps.split("/")
+    parent = parts[-2] if len(parts) >= 2 else ""
+    return parent.startswith(("norm", "patch_norm")) or parent.endswith("_bn")
 
 
 def backbone_freeze_predicate(freeze_at: int) -> Callable[[str], bool]:
@@ -117,9 +146,15 @@ def build_optimizer(
 
     if s.OPTIMIZER.upper() == "ADAMW":
         def wd_mask(p):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: not is_norm_or_bias_param(_path_str(path)), p
-            )
+            # Swin detection convention: no decay for norm params, biases,
+            # the relative position bias tables, or the absolute pos embed
+            def keep(path, _):
+                ps = _path_str(path)
+                if "relative_position_bias_table" in ps or "absolute_pos_embed" in ps:
+                    return False
+                return not is_norm_or_bias_param(ps)
+
+            return jax.tree_util.tree_map_with_path(keep, p)
 
         chain.append(
             optax.adamw(
@@ -138,10 +173,13 @@ def build_optimizer(
 
             def fn(path, g, param):
                 ps = _path_str(path)
-                if ps.endswith("/bias"):
-                    d = wd_bias
-                elif is_norm_or_bias_param(ps):
+                # d2 build_optimizer checks NORM MODULE membership before
+                # the bias name: a GN/BN/LN bias gets WEIGHT_DECAY_NORM,
+                # never WEIGHT_DECAY_BIAS
+                if _is_norm_param(ps):
                     d = wd_norm
+                elif ps.endswith("/bias"):
+                    d = wd_bias
                 else:
                     d = wd
                 return g + d * param
@@ -163,7 +201,11 @@ def build_optimizer(
             del state, params
 
             def fn(path, u):
-                return u * factor if _path_str(path).endswith("/bias") else u
+                ps = _path_str(path)
+                # d2: only NON-norm biases get the bias LR group
+                return u * factor if (
+                    ps.endswith("/bias") and not _is_norm_param(ps)
+                ) else u
 
             return jax.tree_util.tree_map_with_path(fn, updates), None
 
@@ -171,8 +213,18 @@ def build_optimizer(
 
     tx = optax.chain(*chain)
 
-    if frozen_predicates:
-        mask = make_trainable_mask(params, frozen_predicates)
+    # FrozenBatchNorm affine params are d2 buffers and must NEVER train,
+    # regardless of config: the norm module is named plain "norm" so the
+    # path predicates can't see it — detect it structurally (a params
+    # subtree with a "mean" leaf is FrozenBN; live BN stats live in
+    # batch_stats) and freeze all four leaves.
+    bn_prefixes = _frozen_bn_prefixes(params)
+    preds = list(frozen_predicates)
+    if bn_prefixes:
+        preds.append(lambda p: p.rsplit("/", 1)[0] in bn_prefixes)
+
+    if preds:
+        mask = make_trainable_mask(params, preds)
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()},
             jax.tree.map(lambda t: "train" if t else "frozen", mask),

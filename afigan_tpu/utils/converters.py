@@ -99,15 +99,41 @@ def t_linear(w):  # (out,in) -> (in,out)
 
 def t_linear_from_chw(w, pool: int = 7):  # first FC after NCHW spatial flatten
     """d2 box heads flatten pooled features in (C, H, W) order; our NHWC head
-    flattens (H, W, C). Permute fc1's input dim accordingly. d2 box-head
-    poolers are always 7x7 (ROI_BOX_HEAD.POOLER_RESOLUTION); if the input
-    dim is not divisible by 49 fall back to a plain transpose."""
+    flattens (H, W, C). Permute fc1's input dim accordingly. ``pool`` is the
+    pooler resolution — ``state_dict_to_variables`` infers it from the
+    checkpoint's own channel counts (a hardcoded 7 would silently scramble
+    the permutation for e.g. a 14x14 pooler whose C*H*W is still divisible
+    by 49); if the input dim is not divisible by pool^2 fall back to a
+    plain transpose."""
     out_f, in_f = w.shape
     if in_f % (pool * pool) != 0:
         return t_linear(w)
     c = in_f // (pool * pool)
     w4 = w.reshape(out_f, c, pool, pool).transpose(0, 2, 3, 1).reshape(out_f, in_f)
     return np.ascontiguousarray(w4.T)
+
+
+def _infer_box_pool(state: Dict, in_f: int, default: int = 7) -> int:
+    """Infer the box pooler resolution from the checkpoint: fc1's input is
+    C * P^2 where C is the last box-head conv's out-channels (conv heads)
+    or the FPN/RPN channel width. Falls back to ``default``."""
+    c = None
+    for key in (
+        # a conv box head: fc1 consumes the last conv's output channels
+        *sorted((k for k in state if re.match(
+            r"^roi_heads\.box_head\.(?:\d\.)?conv\d\.weight$", k)), reverse=True),
+        "proposal_generator.rpn_head.conv.weight",
+        "backbone.fpn_lateral2.weight",
+        "backbone.fpn_lateral3.weight",
+    ):
+        if key in state and hasattr(state[key], "shape"):
+            c = int(state[key].shape[0])
+            break
+    if c and in_f % c == 0:
+        p = int(round(float(in_f // c) ** 0.5))
+        if p * p * c == in_f:
+            return p
+    return default
 
 
 def t_id(w):
@@ -206,14 +232,12 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
     k = key
 
     def norm_dest(prefix_path, rest):
+        if rest not in _NORM_SUFFIX:
+            return None  # e.g. num_batches_tracked — unrecognized, skip
         leaf, tf, kind = _NORM_SUFFIX[rest]
-        if frozen_bn or kind == "norm_param":
-            coll = "params"
-        else:
-            coll = "batch_stats"
-        # FrozenBN keeps stats in params; BN splits them out
-        if not frozen_bn and kind == "norm_stat":
-            coll = "batch_stats"
+        # FrozenBN keeps stats in params; live BN splits them into
+        # batch_stats
+        coll = "params" if (frozen_bn or kind == "norm_param") else "batch_stats"
         return coll, prefix_path + ("norm", leaf), tf
 
     # ---- backbone.bottom_up (ResNet / ResNeSt deep stem) ----
@@ -241,8 +265,7 @@ def translate_d2_key(key: str, frozen_bn: bool = True):
                 return "params", blk + ("conv", "conv", "bias"), t_id
             if rest in _NORM_SUFFIX:
                 return norm_dest(blk + ("conv",), rest)
-        if part == "bn0" and f"norm.{rest}" in [f"norm.{x}" for x in
-                                                ("weight", "bias", "running_mean", "running_var")]:
+        if part == "bn0":
             return norm_dest(blk + ("conv",), f"norm.{rest}")
         if part in ("fc1", "fc2"):
             if rest == "weight":
@@ -565,7 +588,10 @@ def state_dict_to_variables(
         else:
             path, tf = tr
             coll = "params"
-        arr = tf(v)
+        if tf is t_linear_from_chw:
+            arr = tf(v, pool=_infer_box_pool(state, int(v.shape[1])))
+        else:
+            arr = tf(v)
         if template is not None:
             want = _get_path(template.get(coll, {}), path)
             if want is None:

@@ -196,3 +196,35 @@ def test_discriminator_key_translation():
     assert not report["unmatched"], report["unmatched"]
     assert not report["mismatched"], report["mismatched"]
     assert "batch_stats" in variables
+
+
+def test_transplant_rejects_partial_generator_tree():
+    """The transplant REPLACES the srf_module subtree wholesale, so a
+    source missing leaves (older/partial save) must be rejected at
+    transplant time, not fail at the first apply far from the load."""
+    import jax.numpy as jnp
+
+    det = {
+        "backbone": {
+            "pyramid": {
+                "srf_module": {
+                    "generators_0/head": {"conv": {
+                        "kernel": jnp.ones((3, 3, 4, 4)),
+                        "bias": jnp.zeros(4),
+                    }},
+                    "generators_0/tail": {"conv": {
+                        "kernel": jnp.ones((3, 3, 4, 4)),
+                        "bias": jnp.zeros(4),
+                    }},
+                },
+            },
+        },
+    }
+    partial = {
+        "generators_0/head": {"conv": {
+            "kernel": jnp.ones((3, 3, 4, 4)), "bias": jnp.zeros(4),
+        }},
+        # tail missing
+    }
+    with pytest.raises(KeyError, match="missing from the transplanted"):
+        transplant_generator(det, partial)

@@ -93,3 +93,64 @@ def test_resnest_key_translation_covers_template():
     assert not report["unmatched"], report["unmatched"]
     assert not report["mismatched"], report["mismatched"]
     assert "batch_stats" in variables2  # running stats routed correctly
+
+
+def test_num_batches_tracked_skipped_not_crash():
+    """0-dim num_batches_tracked buffers from real (Sync)BN checkpoints
+    must be reported unmatched, not KeyError the whole load — including
+    the ResNeSt SplAt bn0/bn1 branches."""
+    tr = functools.partial(translate_d2_key, frozen_bn=False)
+    for key in (
+        "backbone.bottom_up.res2.0.conv2.bn0.num_batches_tracked",
+        "backbone.bottom_up.res2.0.conv2.bn1.num_batches_tracked",
+        "backbone.bottom_up.res2.0.conv1.norm.num_batches_tracked",
+    ):
+        assert tr(key) is None, key
+
+    state = {
+        "backbone.bottom_up.res2.0.conv2.bn1.num_batches_tracked":
+            np.zeros((), np.int64),
+        "backbone.bottom_up.res2.0.conv2.fc1.weight":
+            np.zeros((4, 2, 1, 1), np.float32),
+    }
+    out, report = state_dict_to_variables(state, translate=tr)
+    assert any("num_batches_tracked" in k for k in report["unmatched"])
+    assert any("fc1.weight" in k for k in report["matched"])
+
+
+def test_fc1_permutation_infers_pooler_resolution():
+    """A 14x14 box pooler has C*H*W divisible by 49 too — the fc1
+    permutation must infer P from the checkpoint's channel widths, not
+    assume 7."""
+    from afigan_tpu.utils.converters import _infer_box_pool
+
+    c, p = 256, 14
+    state = {
+        "proposal_generator.rpn_head.conv.weight":
+            np.zeros((c, c, 3, 3), np.float32),
+        "roi_heads.box_head.fc1.weight":
+            np.zeros((1024, c * p * p), np.float32),
+    }
+    assert _infer_box_pool(state, c * p * p) == 14
+    # conv box head: last conv's out-channels take precedence
+    state2 = dict(state)
+    state2["roi_heads.box_head.conv1.weight"] = np.zeros(
+        (128, c, 3, 3), np.float32
+    )
+    assert _infer_box_pool(state2, 128 * 7 * 7) == 7
+
+    # end-to-end: the permutation round-trips 14x14 correctly
+    rng = np.random.RandomState(0)
+    w = rng.randn(8, c * p * p).astype(np.float32)
+    out, report = state_dict_to_variables(
+        {"roi_heads.box_head.fc1.weight": w,
+         "proposal_generator.rpn_head.conv.weight":
+             np.zeros((c, c, 3, 3), np.float32)},
+        translate=translate_d2_key,
+    )
+    k = out["params"]["roi_heads"]["box_head"]["fc1"]["kernel"]
+    # torch flattens (C, P, P); ours flattens (P, P, C): entry for
+    # (c0, y, x) in torch order must land at (y, x, c0) in ours
+    torch_flat = w.reshape(8, c, p, p)
+    ours = np.asarray(k).reshape(p, p, c, 8)
+    np.testing.assert_allclose(ours[3, 5, 17], torch_flat[:, 17, 3, 5])

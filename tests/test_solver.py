@@ -80,3 +80,66 @@ def test_adamw_option():
     grads = jax.tree.map(jnp.ones_like, params)
     updates, _ = tx.update(grads, opt, params)
     assert np.isfinite(np.asarray(jax.tree.leaves(updates)[0])).all()
+
+
+def test_frozen_bn_affine_params_never_train():
+    """FrozenBatchNorm scale/bias are d2 buffers: the optimizer must
+    freeze ALL FOUR leaves of a params subtree that carries a 'mean'
+    leaf, even though the module is just named 'norm' (path predicates
+    can't see the type)."""
+    cfg = get_cfg()
+    params = {
+        "backbone": {
+            "res3/block0": {
+                "conv1": {
+                    "conv": {"kernel": jnp.ones((1, 1, 2, 2))},
+                    "norm": {  # FrozenBN: stats in params
+                        "scale": jnp.ones(2), "bias": jnp.zeros(2),
+                        "mean": jnp.zeros(2), "var": jnp.ones(2),
+                    },
+                },
+            },
+        },
+        "head": {
+            "norm": {"scale": jnp.ones(2), "bias": jnp.zeros(2)},  # live GN/BN
+            "dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+        },
+    }
+    tx, _ = build_optimizer(cfg, params)
+    opt = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt, params)
+    fbn = updates["backbone"]["res3/block0"]["conv1"]["norm"]
+    for leaf in ("scale", "bias", "mean", "var"):
+        np.testing.assert_array_equal(np.asarray(fbn[leaf]), 0.0)
+    # live norm params still train
+    assert float(jnp.abs(updates["head"]["norm"]["scale"]).max()) > 0
+    assert float(jnp.abs(updates["head"]["dense"]["kernel"]).max()) > 0
+
+
+def test_norm_bias_gets_weight_decay_norm_not_bias():
+    """d2 classifies norm-module params BEFORE the bias-name check: a
+    norm bias gets WEIGHT_DECAY_NORM (default 0), never
+    WEIGHT_DECAY_BIAS, and never the BIAS_LR_FACTOR group."""
+    cfg = get_cfg()
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.5
+    cfg.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    cfg.SOLVER.BASE_LR = 1.0
+    cfg.SOLVER.MOMENTUM = 0.0
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.BIAS_LR_FACTOR = 2.0
+    params = {
+        "norm": {"scale": jnp.ones(2), "bias": jnp.full((2,), 3.0)},
+        "dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.full((2,), 3.0)},
+    }
+    tx, _ = build_optimizer(cfg, params)
+    opt = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)  # isolate decay term
+    updates, _ = tx.update(grads, opt, params)
+    # norm bias: no decay, no bias-LR scaling -> zero update
+    np.testing.assert_allclose(np.asarray(updates["norm"]["bias"]), 0.0)
+    # plain bias: decay 0.5 * 3.0 = 1.5, then BIAS_LR_FACTOR 2 and lr -1
+    np.testing.assert_allclose(
+        np.asarray(updates["dense"]["bias"]), -0.5 * 3.0 * 2.0, rtol=1e-6
+    )
