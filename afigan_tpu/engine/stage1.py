@@ -30,6 +30,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.losses import bce_with_logits
 from ..models import AFIGenerator, PatchDiscriminator, build_guide_model
 from .solver import build_optimizer
 
@@ -47,8 +48,7 @@ class Stage1State(NamedTuple):
 
 def _bce_mean(logits, target_value):
     x = logits.astype(jnp.float32)
-    t = jnp.full_like(x, target_value)
-    return jnp.mean(jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    return jnp.mean(bce_with_logits(x, jnp.full_like(x, target_value)))
 
 
 def _crop_pair(a, b):

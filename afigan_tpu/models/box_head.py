@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.losses import smooth_l1
+
 from ..ops import batched_nms_padded, clip_boxes, nonempty_mask
 from .layers import Conv, c2_msra_fill, c2_xavier_fill
 
@@ -96,13 +98,7 @@ def fast_rcnn_losses(
     else:
         cls_idx = jnp.clip(gt_classes, 0, num_classes - 1)
         sel = jnp.take_along_axis(d, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
-    diff = jnp.abs(sel - gt_deltas)
-    if smooth_l1_beta > 1e-8:
-        l1 = jnp.where(diff < smooth_l1_beta,
-                       0.5 * diff * diff / smooth_l1_beta,
-                       diff - 0.5 * smooth_l1_beta)
-    else:
-        l1 = diff
+    l1 = smooth_l1(sel, gt_deltas, smooth_l1_beta)
     loss_box = jnp.sum(jnp.where(fg[:, None], l1, 0.0)) / n_valid
     return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
 

@@ -77,11 +77,9 @@ class CascadeROIHeads(StandardROIHeads):
         given_dets=None,
     ):
         if not self.train and given_dets is not None:
+            # masks only, like StandardROIHeads: the TTA caller never
+            # reads keypoints (and asserts KEYPOINT_ON off)
             masks = self._mask_branch_infer(features, given_dets) if self.mask_on else None
-            if self.keypoint_on:
-                given_dets = given_dets._replace(
-                    keypoints=self._keypoint_branch_infer(features, given_dets)
-                )
             return given_dets, masks
 
         num_stages = len(self.cascade_ious)

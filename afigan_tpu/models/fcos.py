@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.losses import bce_with_logits
+
 from ..ops import batched_nms_padded, clip_boxes
 from .box_head import Detections
 from .layers import Conv, get_norm
@@ -318,11 +320,7 @@ class FCOS(nn.Module):
         ).reshape(pos.shape)
         reg_loss = jnp.sum(jnp.where(pos, giou * ctr_t, 0.0)) / ctr_norm
 
-        ctr_bce = (
-            jnp.maximum(flat_ctrs, 0)
-            - flat_ctrs * ctr_t
-            + jnp.log1p(jnp.exp(-jnp.abs(flat_ctrs)))
-        )
+        ctr_bce = bce_with_logits(flat_ctrs, ctr_t)
         ctr_loss = jnp.sum(jnp.where(pos, ctr_bce, 0.0)) / num_pos
 
         return {

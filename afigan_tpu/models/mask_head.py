@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.losses import bce_with_logits
+
 from .layers import Conv, ConvTranspose, c2_msra_fill
 
 
@@ -122,7 +124,7 @@ def mask_loss(
             logits, cls_idx[:, None, None, None], axis=-1
         )[..., 0]
     t = (mask_targets >= 0.5).astype(jnp.float32)
-    bce = jnp.maximum(sel, 0) - sel * t + jnp.log1p(jnp.exp(-jnp.abs(sel)))
+    bce = bce_with_logits(sel, t)
     per_roi = jnp.mean(bce, axis=(1, 2))
     n = jnp.maximum(jnp.sum(fg_valid.astype(jnp.float32)), 1.0)
     return jnp.sum(jnp.where(fg_valid, per_roi, 0.0)) / n

@@ -30,6 +30,7 @@ from ..ops import (
     pairwise_iou,
     subsample_labels,
 )
+from ..ops.losses import bce_with_logits, smooth_l1
 from .layers import Conv
 
 Dtype = Any
@@ -78,11 +79,11 @@ def label_anchors(
     batch_size_per_image: int,
     positive_fraction: float,
     matcher: Matcher,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single image: anchors (N,4), gt (M,4)+(M,) valid.
 
-    Returns (labels (N,) in {-1,0,1} after subsampling, matched_gt_idx (N,),
-    sample_valid mask folded into labels as -1)."""
+    Returns (labels (N,) in {-1,0,1} after subsampling — non-sampled
+    anchors are folded in as -1 — and matched_gt_idx (N,))."""
     iou = pairwise_iou(gt_boxes, anchors)  # (M, N)
     matched_idx, labels = matcher(iou, gt_valid)
     labels = labels.astype(jnp.int32)
@@ -90,7 +91,10 @@ def label_anchors(
     idx, valid = subsample_labels(
         key, labels, batch_size_per_image, positive_fraction, bg_label=0
     )
-    sampled = jnp.zeros(labels.shape, dtype=bool).at[idx].set(valid)
+    # .max(), not .set(): filler slots carry valid=False at arbitrary
+    # in-range indices, and a duplicate-index scatter-set could
+    # nondeterministically drop a genuinely sampled anchor
+    sampled = jnp.zeros(labels.shape, dtype=bool).at[idx].max(valid)
     labels = jnp.where(sampled, labels, -1)
     return labels, matched_idx
 
@@ -115,25 +119,13 @@ def rpn_losses(
     pos = labels == 1
     sampled = labels >= 0
 
-    loc = _smooth_l1(pred_deltas.astype(jnp.float32), gt_deltas, smooth_l1_beta)
+    loc = smooth_l1(pred_deltas.astype(jnp.float32), gt_deltas, smooth_l1_beta)
     loss_loc = jnp.sum(jnp.where(pos[..., None], loc, 0.0)) / normalizer
 
     logits = pred_logits.astype(jnp.float32)
-    obj = _bce_with_logits(logits, pos.astype(jnp.float32))
+    obj = bce_with_logits(logits, pos.astype(jnp.float32))
     loss_obj = jnp.sum(jnp.where(sampled, obj, 0.0)) / normalizer
     return {"loss_rpn_cls": loss_obj, "loss_rpn_loc": loss_loc}
-
-
-def _smooth_l1(pred, target, beta):
-    diff = jnp.abs(pred - target)
-    if beta <= 1e-8:
-        return diff
-    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
-
-
-def _bce_with_logits(logits, targets):
-    # numerically stable: max(x,0) - x*t + log(1 + exp(-|x|))
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 def generate_proposals(
