@@ -124,15 +124,30 @@ def setup_logger(name: str = "afigan_tpu", output_dir: Optional[str] = None,
     (ref stage1_trainer.py:51-53)."""
     lg = logging.getLogger(name)
     lg.setLevel(level)
-    if not lg.handlers:
+    lg.propagate = False  # root logger may be configured (absl) → no dupes
+    fmt = logging.Formatter("[%(asctime)s %(name)s]: %(message)s", "%m/%d %H:%M:%S")
+    has_stream = any(
+        isinstance(h, logging.StreamHandler)
+        and not isinstance(h, logging.FileHandler)
+        for h in lg.handlers
+    )
+    if not has_stream:
         h = logging.StreamHandler()
-        h.setFormatter(
-            logging.Formatter("[%(asctime)s %(name)s]: %(message)s", "%m/%d %H:%M:%S")
-        )
+        h.setFormatter(fmt)
         lg.addHandler(h)
-        if output_dir:
-            os.makedirs(output_dir, exist_ok=True)
-            fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
-            fh.setFormatter(h.formatter)
+    # the file handler is INDEPENDENT of the stream handler: a prior
+    # setup_logger() without output_dir (tests, imports) must not
+    # suppress log.txt for the actual run
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        path = os.path.abspath(os.path.join(output_dir, "log.txt"))
+        has_file = any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == path
+            for h in lg.handlers
+        )
+        if not has_file:
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
             lg.addHandler(fh)
     return lg

@@ -78,7 +78,7 @@ def make_stage1_models(cfg, train: bool = True, axis_name: Optional[str] = None)
 
 def init_stage1_state(cfg, rng, sample_hw=(64, 64), axis_name=None) -> Tuple[Stage1State, Any]:
     """Initialize G/D (+ optimizers). Returns (state, guide_variables)."""
-    g, d, guide = make_stage1_models(cfg, train=True, axis_name=None)
+    g, d, guide = make_stage1_models(cfg, train=True, axis_name=axis_name)
     c = cfg.MODEL.AFI.IN_CHANNELS
     h, w = sample_hw
     kg, kd, kguide = jax.random.split(rng, 3)
@@ -104,9 +104,16 @@ def make_stage1_train_step(cfg, mesh: Optional[Mesh] = None):
     """Build the fused D+G train step; shard_map'ped over `data` if mesh given."""
     axis = "data" if mesh is not None else None
     g, d, guide = make_stage1_models(cfg, train=True, axis_name=axis)
-    g_tx, _ = build_optimizer(cfg, None)
-    d_tx, _ = build_optimizer(cfg, None)
     adv_w = cfg.MODEL.AFI.ADV_LOSS_WEIGHT
+
+    def build_txs(g_params, d_params):
+        # built from the REAL param trees (like stage 2) so the
+        # transforms agree with the optimizer state init_stage1_state
+        # created — build_optimizer(cfg, None) would skip the structural
+        # FrozenBN masking and diverge the optax state structure
+        g_tx, _ = build_optimizer(cfg, g_params)
+        d_tx, _ = build_optimizer(cfg, d_params)
+        return g_tx, d_tx
 
     def apply_d(params, stats, x):
         out, mutated = d.apply(
@@ -115,6 +122,7 @@ def make_stage1_train_step(cfg, mesh: Optional[Mesh] = None):
         return out, mutated["batch_stats"]
 
     def step_fn(state: Stage1State, guide_vars, batch) -> Tuple[Stage1State, Dict]:
+        g_tx, d_tx = build_txs(state.g_params, state.d_params)
         hr_feats = guide.apply(guide_vars, batch["image"])
         lr_feats = guide.apply(guide_vars, batch["image_x0.5"])
         hr = [jax.lax.stop_gradient(hr_feats[l]) for l in LEVELS]

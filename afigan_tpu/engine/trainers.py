@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..data import build_train_loader, get_dataset, register_default_datasets
 from ..models import build_model
 from ..models.roi_heads import GroundTruth
-from ..parallel.mesh import process_is_main, replicate, shard_batch
+from ..parallel.mesh import (assert_uniform_across_processes,
+                             process_is_main, replicate, shard_batch)
 from .checkpoint import (
     resume_or_load,
     save_checkpoint,
@@ -79,14 +80,30 @@ class _BaseTrainer:
         # stage1_trainer.py:577-589; we degrade gracefully instead)
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
-            n = len(jax.devices())
-            per_host = max(cfg.SOLVER.IMS_PER_BATCH // max(jax.process_count(), 1), 1)
-            while n > 1 and per_host % n != 0:
-                n -= 1
-            if n > 1:
+            # divisibility is PER-HOST vs LOCAL devices (a global-prefix
+            # mesh would exclude whole hosts and break replicate/
+            # shard_batch on them); every host contributes the same
+            # number of its own devices.
+            procs = max(jax.process_count(), 1)
+            local = jax.local_device_count()
+            per_host = max(cfg.SOLVER.IMS_PER_BATCH // procs, 1)
+            n_local = min(local, per_host)
+            while n_local > 1 and per_host % n_local != 0:
+                n_local -= 1
+            if n_local * procs > 1:
                 from ..parallel.mesh import make_mesh
 
-                self.mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+                if procs > 1:
+                    by_proc = {}
+                    for d in jax.devices():
+                        by_proc.setdefault(d.process_index, []).append(d)
+                    devices = [
+                        d for p in sorted(by_proc)
+                        for d in sorted(by_proc[p], key=lambda x: x.id)[:n_local]
+                    ]
+                else:
+                    devices = jax.devices()[:n_local]
+                self.mesh = make_mesh(("data",), (len(devices),), devices)
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
         self.schedule = warmup_multistep_schedule(
@@ -220,6 +237,9 @@ class AFIGANTrainer(_BaseTrainer):
     def train(self, resume: bool = False):
         cfg = self.cfg
         start_iter = self.resume() if resume else 0
+        # a checkpoint visible on SOME hosts only would desync the
+        # replicated state silently — fail fast instead
+        assert_uniform_across_processes(start_iter, "resume start_iter")
         dataset = self._train_dataset()
         self.loader = build_train_loader(
             cfg, dataset, dual_scale=True, seed=max(cfg.SEED, 0),
@@ -328,6 +348,7 @@ class AFExtractorTrainer(_BaseTrainer):
                     det_opt=loaded["opt"], step=jnp.asarray(loaded["step"]),
                 )
                 start_iter = int(loaded["step"])
+        assert_uniform_across_processes(start_iter, "resume start_iter")
         dataset = self._train_dataset()
         self.loader = build_train_loader(
             cfg, dataset, dual_scale=True, seed=max(cfg.SEED, 0),
@@ -515,6 +536,7 @@ class TargetDetectorTrainer(_BaseTrainer):
                     opt=loaded["opt"], step=jnp.asarray(loaded["step"]),
                 )
                 start_iter = int(loaded["step"])
+        assert_uniform_across_processes(start_iter, "resume start_iter")
         dataset = self._train_dataset()
         self.loader = build_train_loader(
             cfg, dataset, dual_scale=False, seed=max(cfg.SEED, 0),

@@ -152,12 +152,59 @@ def kv_allgather_bytes(payload: bytes, tag: str = "ag",
     return out
 
 
+# Env vars that indicate a managed multi-process launch where
+# jax.distributed.initialize() can resolve the coordinator (explicit
+# address, SLURM, TPU pod / megascale). Attempting auto-detect WITHOUT
+# any signal is unsafe here: metadata-server probes can stall startup
+# on single-chip environments.
+_CLUSTER_SIGNALS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
 def initialize_distributed():
     """Multi-host init (no-op single host). Call before device queries."""
     import os
 
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # explicit address: failures should surface
         jax.distributed.initialize()
+        return
+    if any(os.environ.get(v) for v in _CLUSTER_SIGNALS):
+        try:
+            jax.distributed.initialize()  # cluster auto-detect
+        except Exception as e:  # pragma: no cover - env specific
+            import logging
+
+            logging.getLogger("afigan_tpu").warning(
+                f"jax.distributed.initialize() failed ({e}); "
+                "continuing single-process"
+            )
+
+
+def assert_uniform_across_processes(value, what: str) -> None:
+    """Fail fast when processes disagree on a host-side scalar (e.g. the
+    resumed iteration when a checkpoint exists on some hosts only —
+    replicate() cannot detect mismatched buffers, and training would mix
+    inconsistent states silently)."""
+    if jax.process_count() == 1:
+        return
+    import pickle
+
+    payloads = kv_allgather_bytes(pickle.dumps(value), tag=f"uniform/{what}")
+    values = [pickle.loads(b) for b in payloads]
+    if any(v != values[0] for v in values[1:]):
+        raise RuntimeError(
+            f"processes disagree on {what}: {values} — all hosts must see "
+            "the same checkpoints/config (shared OUTPUT_DIR required)"
+        )
 
 
 def process_is_main() -> bool:

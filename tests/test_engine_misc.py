@@ -58,18 +58,41 @@ def test_eval_hook_records_results():
 
 
 def test_precise_bn_recovers_true_average():
-    """EMA differencing must recover the uniform batch-stat average."""
+    """EMA differencing must recover the uniform batch-stat average —
+    with the momentum CALIBRATED from the first batch (no name
+    heuristics)."""
     import jax.numpy as jnp
 
     m = 0.9
     batch_stats = [jnp.asarray([1.0, 2.0]), jnp.asarray([3.0, 4.0]),
                    jnp.asarray([5.0, 6.0])]
-    state = {"r": jnp.zeros(2)}
-    it = iter(batch_stats)
+    state = {"r": jnp.full((2,), 7.0)}  # stale running stats
 
     def forward(stats, batch):
-        b = next(it)
-        return {"r": m * stats["r"] + (1 - m) * b}
+        return {"r": m * stats["r"] + (1 - m) * batch}
 
-    out = compute_precise_bn_stats(forward, state, range(3), 3)
+    out = compute_precise_bn_stats(forward, state, iter(batch_stats), 3)
     np.testing.assert_allclose(np.asarray(out["r"]), [3.0, 4.0], rtol=1e-5)
+
+
+def test_precise_bn_calibrates_mixed_momentum():
+    """Leaves running at different momenta (backbone 0.9 vs BiFPN 0.99)
+    must BOTH be recovered exactly — the old path-name heuristic
+    corrupted stats ~10x when the name didn't match the momentum."""
+    import jax.numpy as jnp
+
+    batches = [jnp.asarray([10.0, 20.0]), jnp.asarray([30.0, 40.0])]
+    state = {"backbone": {"r": jnp.full((2,), 3.0)},
+             "weird_name": {"r": jnp.full((2,), 5.0)}}  # runs at 0.99
+
+    def forward(stats, batch):
+        return {
+            "backbone": {"r": 0.9 * stats["backbone"]["r"] + 0.1 * batch},
+            "weird_name": {"r": 0.99 * stats["weird_name"]["r"] + 0.01 * batch},
+        }
+
+    out = compute_precise_bn_stats(forward, state, iter(batches), 2)
+    np.testing.assert_allclose(np.asarray(out["backbone"]["r"]),
+                               [20.0, 30.0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["weird_name"]["r"]),
+                               [20.0, 30.0], rtol=1e-4)
