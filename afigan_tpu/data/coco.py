@@ -96,9 +96,21 @@ class CocoDataset:
                     "area": a.get("area", w * h),
                 }
                 if "keypoints" in a:
-                    obj["keypoints"] = a["keypoints"]  # flat [x,y,v]*K
+                    # d2 load_coco_json: +0.5 shifts pixel indices to
+                    # continuous coords (visibility untouched) — hflip's
+                    # `w - x` mirror is exact only for shifted coords
+                    obj["keypoints"] = [
+                        v if i % 3 == 2 else v + 0.5
+                        for i, v in enumerate(a["keypoints"])
+                    ]
                 objs.append(obj)
-            if filter_empty and not any(o["iscrowd"] == 0 for o in objs):
+            # d2's only-crowd filter counts PRE-pruning annotations
+            # (degenerate boxes are dropped by the mapper, not at load):
+            # an image whose only non-crowd ann has w<=0 stays in the set
+            if filter_empty and not any(
+                not a.get("ignore", 0) and a.get("iscrowd", 0) == 0
+                for a in anns
+            ):
                 continue
             self.records.append(
                 {

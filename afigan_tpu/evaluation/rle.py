@@ -26,13 +26,15 @@ def mask_to_rle_counts(mask: np.ndarray) -> List[int]:
     native = native_encode_counts(np.asarray(mask))
     if native is not None:
         return native
-    flat = np.asfortranarray(mask).ravel(order="F").astype(np.uint8)
+    # binarize first: any nonzero is foreground (0/255 masks etc.) —
+    # matching the native path's `mask[...] ? 1 : 0`
+    flat = (np.asfortranarray(mask).ravel(order="F") != 0).astype(np.uint8)
     n = flat.size
     if n == 0:
         return [0]
     change = np.nonzero(flat[1:] != flat[:-1])[0] + 1
     runs = np.diff(np.concatenate([[0], change, [n]])).tolist()
-    if flat[0] == 1:
+    if flat[0] != 0:
         runs = [0] + runs
     return [int(r) for r in runs]
 
@@ -109,31 +111,25 @@ def encode_mask(mask: np.ndarray) -> Dict:
     return {"size": [int(h), int(w)], "counts": counts_to_string(mask_to_rle_counts(mask))}
 
 
-def decode_rle(rle: Dict) -> np.ndarray:
-    """COCO RLE dict (compressed string or raw counts list) -> (H, W) mask."""
-    h, w = rle["size"]
-    counts = rle["counts"]
-    if isinstance(counts, str):
-        counts = string_to_counts(counts)
-    elif isinstance(counts, bytes):
-        counts = string_to_counts(counts.decode("ascii"))
-    return rle_counts_to_mask(counts, h, w)
-
-
-def rle_area(rle: Dict) -> int:
-    counts = rle["counts"]
-    if isinstance(counts, (str, bytes)):
-        counts = string_to_counts(counts if isinstance(counts, str) else counts.decode())
-    return int(sum(counts[1::2]))
-
-
 def _counts_of(rle: Dict) -> List[int]:
+    """Counts list of an RLE dict, decoding compressed str/bytes forms —
+    the single normalization used by decode/area/IoU."""
     counts = rle["counts"]
     if isinstance(counts, bytes):
         counts = counts.decode("ascii")
     if isinstance(counts, str):
         counts = string_to_counts(counts)
     return list(counts)
+
+
+def decode_rle(rle: Dict) -> np.ndarray:
+    """COCO RLE dict (compressed string or raw counts list) -> (H, W) mask."""
+    h, w = rle["size"]
+    return rle_counts_to_mask(_counts_of(rle), h, w)
+
+
+def rle_area(rle: Dict) -> int:
+    return int(sum(_counts_of(rle)[1::2]))
 
 
 def rle_iou(dt: Dict, gt: Dict, iscrowd: bool = False) -> float:

@@ -87,12 +87,16 @@ int rle_string_to_counts(const char* s, int len, int64_t* out, int cap) {
     bool more = true;
     int c = 0;
     while (more) {
+      // a truncated varint (continuation bit set on the last char) must
+      // be an error, not a silent read past len into the terminator
+      if (i >= len) return -1;
       c = s[i] - 48;
-      x |= (int64_t)(c & 0x1f) << (5 * k);
+      if (5 * k < 64) x |= (int64_t)(c & 0x1f) << (5 * k);
       more = (c & 0x20) != 0;
       ++i;
       ++k;
-      if (!more && (c & 0x10)) x |= (int64_t)(-1) << (5 * k);
+      // guard the sign-extension shift too (5*k >= 64 is UB)
+      if (!more && (c & 0x10) && 5 * k < 64) x |= (int64_t)(-1) << (5 * k);
     }
     if (n > 2) x += out[n - 2];
     if (n >= cap) return -1;

@@ -54,12 +54,16 @@ def choose_bucket(h: int, w: int, buckets: Sequence[Sequence[int]],
     64-divisible bucket list stays unchanged at d=64; at d=128 — the
     BiFPN families — e.g. 704 becomes 768)."""
     d = size_divisibility
-    fitting = [
-        (bh, bw) for bh, bw in buckets if bh >= h and bw >= w
+    # test fit against the ROUNDED canvas (what the bucket actually
+    # becomes): at d=128 a 720px image fits the (704→768) bucket — judging
+    # by the raw 704 would escalate to the next bucket's far larger canvas
+    rounded = [
+        (int(np.ceil(bh / d) * d), int(np.ceil(bw / d) * d))
+        for bh, bw in buckets
     ]
+    fitting = [(ch, cw) for ch, cw in rounded if ch >= h and cw >= w]
     if fitting:
-        bh, bw = min(fitting, key=lambda s: s[0] * s[1])
-        return (int(np.ceil(bh / d) * d), int(np.ceil(bw / d) * d))
+        return min(fitting, key=lambda s: s[0] * s[1])
     return (int(np.ceil(h / d) * d), int(np.ceil(w / d) * d))
 
 

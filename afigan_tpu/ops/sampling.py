@@ -43,15 +43,22 @@ def subsample_labels(
     kp, kn = jax.random.split(key)
     pos_mask = (labels != -1) & (labels != bg_label)
     neg_mask = labels == bg_label
-    cap_pos = max(int(num_samples * positive_fraction), 1)
+    # d2: num_pos = int(num_samples * positive_fraction) EXACTLY —
+    # pf < 1/num_samples means zero positives. top_k still needs k >= 1,
+    # so the floor applies only to k and the selection is gated by the
+    # true cap.
+    cap_pos = int(num_samples * positive_fraction)
+    k_pos = max(cap_pos, 1)
 
     rp = jax.random.uniform(kp, labels.shape, minval=0.1, maxval=1.0)
     rn = jax.random.uniform(kn, labels.shape, minval=0.1, maxval=1.0)
 
     # top-cap random positives: entries with score>0 are uniformly-random
     # positives; count = min(#pos, cap_pos)
-    pos_scores, pos_idx = jax.lax.top_k(jnp.where(pos_mask, rp, -1.0), cap_pos)
-    pos_sel = pos_scores > 0
+    pos_scores, pos_idx = jax.lax.top_k(jnp.where(pos_mask, rp, -1.0), k_pos)
+    pos_sel = (pos_scores > 0) if cap_pos > 0 else jnp.zeros_like(
+        pos_scores, dtype=bool
+    )
     num_pos = jnp.sum(pos_sel.astype(jnp.int32))
 
     num_neg_avail = jnp.sum(neg_mask.astype(jnp.int32))

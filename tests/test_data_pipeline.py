@@ -377,3 +377,63 @@ def test_rle_canvas_matches_polygon_canvas():
     # interiors are fully on
     assert c_rle[10:18, 10:18].min() > 0.9
     assert c_poly[10:18, 10:18].min() > 0.9
+
+
+def test_choose_bucket_fit_uses_rounded_canvas():
+    """Fit must be judged against the ROUNDED canvas: at d=128 a 720px
+    image fits the (704 -> 768) bucket; judging by the raw 704 escalated
+    to the next (much larger) bucket."""
+    from afigan_tpu.ops.image_list import choose_bucket
+
+    buckets = [[704, 704], [1333, 1333]]
+    assert choose_bucket(720, 720, buckets, 128) == (768, 768)
+    # still escalates when even the rounded canvas is too small
+    assert choose_bucket(800, 800, buckets, 128) == (1408, 1408)
+    # d=64: unchanged exact-fit behavior
+    assert choose_bucket(704, 704, buckets, 64) == (704, 704)
+
+
+def test_subsample_labels_zero_positive_fraction():
+    """d2: num_pos = int(num_samples * pf) EXACTLY — pf=0 samples no
+    positives even when positives exist (the old floor forced one)."""
+    import jax
+    from afigan_tpu.ops.sampling import subsample_labels
+
+    labels = np.full((100,), -1, np.int32)
+    labels[:10] = 1   # 10 positives
+    labels[50:] = 0   # 50 negatives
+    idx, valid = subsample_labels(
+        jax.random.PRNGKey(0), np.asarray(labels), 16, 0.0, bg_label=0
+    )
+    chosen = np.asarray(idx)[np.asarray(valid)]
+    assert len(chosen) == 16
+    assert (np.asarray(labels)[chosen] == 0).all()  # negatives only
+
+
+def test_coco_keypoints_loaded_with_half_pixel_shift(tmp_path):
+    """d2 load_coco_json adds +0.5 to keypoint x/y (pixel index ->
+    continuous coords); visibility stays integral."""
+    from tests.fixtures import make_tiny_coco
+    import json as jsonlib
+
+    jp, imgd = make_tiny_coco(str(tmp_path), num_images=1, hw=(64, 96),
+                              keypoints=True)
+    raw = jsonlib.load(open(jp))
+    raw_kp = None
+    for a in raw["annotations"]:
+        if a.get("keypoints") and a.get("num_keypoints", 0) > 0:
+            raw_kp = a["keypoints"]
+            break
+    assert raw_kp is not None
+    ds = CocoDataset(jp, imgd)
+    for rec in ds.records:
+        for o in rec["annotations"]:
+            if "keypoints" in o and o["keypoints"][:len(raw_kp)] and any(
+                v > 0 for v in o["keypoints"][2::3]
+            ):
+                got = o["keypoints"]
+                assert got[0] == raw_kp[0] + 0.5
+                assert got[1] == raw_kp[1] + 0.5
+                assert got[2] == raw_kp[2]
+                return
+    raise AssertionError("no labeled keypoints found in records")
