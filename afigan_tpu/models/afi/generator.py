@@ -55,7 +55,8 @@ class ResidualDenseBlock(nn.Module):
         c = x.shape[-1]
         init = kaiming_normal_scaled(0.1)
 
-        def dense_conv_module(in_feats, out_feats, name):
+        def dense_conv_module(out_feats, name):
+            # input width (c + i*g, the dense concat) is inferred by flax
             return Conv(
                 out_feats, kernel_size=3, padding=1, use_bias=False,
                 kernel_init=init, dtype=self.dtype, name=name,
@@ -63,7 +64,7 @@ class ResidualDenseBlock(nn.Module):
 
         g = self.growth_rate
         convs = [
-            dense_conv_module(c + i * g, g if i < 4 else c, f"conv{i+1}")
+            dense_conv_module(g if i < 4 else c, f"conv{i+1}")
             for i in range(5)
         ]
 
@@ -125,7 +126,6 @@ class AFIGenerator(nn.Module):
     def __call__(self, x):
         """(B, H, W, C) -> (B, 2H, 2W, C)"""
         init = kaiming_normal_scaled(0.1)
-        skip = bilinear_upsample_x2(x.astype(jnp.float32)).astype(self.dtype)
 
         if self.fused and not self.is_initializing() and self.n_rdb == 3:
             # Whole-generator two-kernel pipeline: ONE chain kernel
@@ -197,4 +197,6 @@ class AFIGenerator(nn.Module):
         )
         y = Conv(self.in_channels, 3, padding=1, kernel_init=init,
                  dtype=self.dtype, name="generators_0/tail")(y)
+        # bilinear skip (the fused branches compute theirs in-kernel)
+        skip = bilinear_upsample_x2(x.astype(jnp.float32)).astype(self.dtype)
         return y + skip

@@ -102,7 +102,9 @@ def get_norm(norm: str, features: int, *, dtype=jnp.float32,
             name=name,
         )
     if norm == "GN":
-        return nn.GroupNorm(num_groups=32, dtype=dtype,
+        # torch GroupNorm eps is 1e-5; flax defaults to 1e-6 — parity
+        # requires the explicit value (GN heads: FCOS towers, d2 GN heads)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype,
                             param_dtype=jnp.float32, name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
@@ -194,7 +196,12 @@ class ConvTranspose(nn.Module):
         k, s, p = self.kernel_size, self.stride, self.padding
         pp = k - 1 - p
 
-        if s == 2 and k % 2 == 0:
+        # the phase decomposition assumes out == 2h exactly, i.e.
+        # k == 2p + 2 (true for every in-repo deconv: k4s2p1, k6s2p2);
+        # other valid torch configs (e.g. k4s2p0 → out 2h+2) must take
+        # the generic lhs-dilated path or they'd get silently wrong
+        # shapes/borders
+        if s == 2 and k % 2 == 0 and k == 2 * p + 2:
             y = self._phase_decomposed(x, kernel, k, pp)
         else:
             y = jax.lax.conv_general_dilated(

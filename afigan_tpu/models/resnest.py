@@ -307,6 +307,20 @@ class ResNeSt(nn.Module):
 def build_resnest(cfg, train: bool = False, axis_name=None, dtype=jnp.float32) -> ResNeSt:
     r = cfg.MODEL.RESNETS
     radix = r.RADIX
+    # silent-config-key guard: ops/deform_conv.py implements ONE offset
+    # group over an ungrouped conv; other values would build a model
+    # architecturally different from the d2 reference with no error
+    if any(r.DEFORM_ON_PER_STAGE):
+        if r.DEFORM_NUM_GROUPS != 1:
+            raise NotImplementedError(
+                "MODEL.RESNETS.DEFORM_NUM_GROUPS != 1 is not supported "
+                "(deform_conv2d predicts a single offset group)"
+            )
+        if r.NUM_GROUPS != 1:
+            raise NotImplementedError(
+                "deformable conv with MODEL.RESNETS.NUM_GROUPS != 1 "
+                "(grouped/ResNeXt conv2) is not supported"
+            )
     return ResNeSt(
         depth=r.DEPTH,
         norm=r.NORM,

@@ -78,6 +78,37 @@ class BottleneckBlock(nn.Module):
         return jax.nn.relu(out + shortcut)
 
 
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/projection shortcut — the R-18/34 block
+    (d2 BasicBlock). Channels 64..512, no bottleneck."""
+
+    out_channels: int
+    stride: int = 1
+    norm: str = "FrozenBN"
+    train: bool = False
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        common = dict(
+            norm=self.norm, train=self.train, axis_name=self.axis_name,
+            kernel_init=c2_msra_fill(), use_bias=False, dtype=self.dtype,
+        )
+        out = Conv(self.out_channels, 3, stride=self.stride, padding=1,
+                   name="conv1", **common)(x)
+        out = jax.nn.relu(out)
+        out = Conv(self.out_channels, 3, stride=1, padding=1,
+                   name="conv2", **common)(out)
+        if in_channels != self.out_channels or self.stride != 1:
+            shortcut = Conv(self.out_channels, 1, stride=self.stride,
+                            padding=0, name="shortcut", **common)(x)
+        else:
+            shortcut = x
+        return jax.nn.relu(out + shortcut)
+
+
 class BasicStem(nn.Module):
     out_channels: int = 64
     norm: str = "FrozenBN"
@@ -120,6 +151,13 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         stage_blocks = RESNET_STAGES[self.depth]
+        basic = self.depth in (18, 34)  # BasicBlock depths (d2)
+        if basic:
+            assert self.res2_out_channels == 64, (
+                "R-18/34 use BasicBlock with res2 channels 64 "
+                "(set MODEL.RESNETS.RES2_OUT_CHANNELS 64)"
+            )
+            assert self.num_groups == 1, "R-18/34 have no grouped convs"
         y = BasicStem(self.stem_out_channels, self.norm, self.train,
                       self.axis_name, self.dtype, name="stem")(x.astype(self.dtype))
 
@@ -136,39 +174,35 @@ class ResNet(nn.Module):
             stage_remat = self.remat and (
                 self.remat_stages is None or name in self.remat_stages
             )
-            block_cls = nn.remat(BottleneckBlock) if stage_remat else BottleneckBlock
+            base_cls = BasicBlock if basic else BottleneckBlock
+            block_cls = nn.remat(base_cls) if stage_remat else base_cls
             first_stride = 1 if stage == 2 else 2
             dilation = self.res5_dilation if stage == 5 else 1
             if stage == 5 and self.res5_dilation == 2:
                 first_stride = 1
             for b in range(stage_blocks[idx]):
-                y = block_cls(
+                kwargs = dict(
                     out_channels=out_channels,
-                    bottleneck_channels=bottleneck_channels,
                     stride=first_stride if b == 0 else 1,
-                    num_groups=self.num_groups,
                     norm=self.norm,
-                    stride_in_1x1=self.stride_in_1x1,
-                    dilation=dilation,
                     train=self.train,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"{name}/block{b}",
-                )(y)
+                )
+                if not basic:
+                    kwargs.update(
+                        bottleneck_channels=bottleneck_channels,
+                        num_groups=self.num_groups,
+                        stride_in_1x1=self.stride_in_1x1,
+                        dilation=dilation,
+                    )
+                y = block_cls(**kwargs)(y)
             if name in self.out_features:
                 out[name] = y
             out_channels *= 2
             bottleneck_channels *= 2
         return out
-
-    @staticmethod
-    def out_feature_strides() -> Dict[str, int]:
-        return {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
-
-    def out_feature_channels(self) -> Dict[str, int]:
-        c = self.res2_out_channels
-        return {f"res{s}": c * (2 ** (s - 2)) for s in range(2, 6)}
-
 
 def build_resnet(cfg, train: bool = False, axis_name: Optional[str] = None,
                  dtype=jnp.float32) -> ResNet:
