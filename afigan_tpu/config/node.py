@@ -87,7 +87,8 @@ class CfgNode(dict):
         self._merge_dict(dict(other), [])
 
     def merge_from_list(self, opts: list) -> None:
-        assert len(opts) % 2 == 0, f"Override list has odd length: {opts}"
+        if len(opts) % 2 != 0:  # not an assert: must survive python -O
+            raise ValueError(f"Override list has odd length: {opts}")
         for full_key, v in zip(opts[0::2], opts[1::2]):
             keys = full_key.split(".")
             d = self
@@ -104,18 +105,19 @@ class CfgNode(dict):
     def _merge_dict(self, other: dict, path: list) -> None:
         for k, v in other.items():
             full = ".".join(path + [k])
+            if k not in self:
+                # yacs semantics: a YAML typo must not silently create a
+                # dead key (merge_from_list already raised; file merges
+                # behaved inconsistently)
+                raise KeyError(f"Non-existent config key: {full}")
             if isinstance(v, dict):
-                if k not in self:
-                    self[k] = CfgNode()
                 node = self[k]
                 if not isinstance(node, CfgNode):
                     raise TypeError(f"Cannot merge dict into non-dict at {full}")
                 node._merge_dict(v, path + [k])
             else:
                 value = _decode_value(v)
-                if k in self:
-                    value = _coerce(value, self[k], full)
-                self[k] = value
+                self[k] = _coerce(value, self[k], full)
 
     # -- io -----------------------------------------------------------------
     def dump(self) -> str:
@@ -158,11 +160,14 @@ def _coerce(value: Any, existing: Any, full_key: str) -> Any:
     vt, et = type(value), type(existing)
     if vt == et:
         return value
-    # interchangeable casts (yacs _check_and_coerce_cfg_value_type)
-    casts = [(tuple, list), (list, tuple), (int, float), (float, int), (str, type(None))]
+    # interchangeable casts (yacs _check_and_coerce_cfg_value_type):
+    # int may widen onto a float default; a float onto an int default is
+    # a type error (silently storing 3.0 in NUM_CLASSES breaks shape
+    # arithmetic far from the merge site)
+    casts = [(tuple, list), (list, tuple), (int, float)]
     for src, dst in casts:
         if vt is src and et is dst:
-            return dst(value) if dst in (tuple, list, float) else value
+            return dst(value)
     if isinstance(existing, CfgNode) and isinstance(value, dict):
         return CfgNode(value)
     raise ValueError(
@@ -170,16 +175,20 @@ def _coerce(value: Any, existing: Any, full_key: str) -> Any:
     )
 
 
-def _load_yaml_with_base(filename: str) -> dict:
-    with open(filename, "r") as f:
+def _load_yaml_with_base(filename: str, _seen: tuple = ()) -> dict:
+    resolved = os.path.abspath(os.path.expanduser(filename))
+    if resolved in _seen:
+        chain = " -> ".join(_seen + (resolved,))
+        raise ValueError(f"_BASE_ cycle detected: {chain}")
+    with open(resolved, "r") as f:
         cfg = yaml.safe_load(f)
     if cfg is None:
         cfg = {}
     if BASE_KEY in cfg:
-        base_filename = cfg.pop(BASE_KEY)
+        base_filename = os.path.expanduser(cfg.pop(BASE_KEY))
         if not os.path.isabs(base_filename):
-            base_filename = os.path.join(os.path.dirname(filename), base_filename)
-        base = _load_yaml_with_base(base_filename)
+            base_filename = os.path.join(os.path.dirname(resolved), base_filename)
+        base = _load_yaml_with_base(base_filename, _seen + (resolved,))
         _deep_update(base, cfg)
         return base
     return cfg

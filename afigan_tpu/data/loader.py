@@ -236,16 +236,20 @@ def build_train_loader(cfg, dataset, dual_scale: bool = False,
     )
 
 
-def build_test_loader(cfg, dataset, batch_size: int = 1):
-    """Sequential eval loader (single pass, padded batches)."""
+def build_test_loader(cfg, dataset, batch_size: int = 1, records=None):
+    """Sequential eval loader (single pass, padded batches).
+
+    ``records``: optional subset of dataset.records (multi-process eval
+    stripes records per rank and allgathers predictions)."""
     from .dataset_mapper import DatasetMapper
 
     mapper = DatasetMapper(cfg, is_train=False)
     div = required_size_divisibility(cfg)
+    records = dataset.records if records is None else records
 
     def gen():
         buf = []
-        for rec in dataset.records:
+        for rec in records:
             buf.append(mapper(rec))
             if len(buf) == batch_size:
                 yield collate_batch(buf, cfg.TPU.IMAGE_BUCKETS, div)

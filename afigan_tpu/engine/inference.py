@@ -71,7 +71,11 @@ def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
     apply_fn = jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))
     proposals: Dict[int, Dict[str, np.ndarray]] = {}
     seen = 0
-    for batch in build_test_loader(cfg, dataset, batch_size=batch_size):
+    records = None
+    if distributed and jax.process_count() > 1:  # pragma: no cover - multihost
+        records = dataset.records[jax.process_index()::jax.process_count()]
+    for batch in build_test_loader(cfg, dataset, batch_size=batch_size,
+                                   records=records):
         out = apply_fn(variables, jnp.asarray(batch["image"]),
                        jnp.asarray(batch["image_sizes"]))
         boxes, scores, valid = (np.asarray(out.proposals), np.asarray(out.scores),
@@ -145,7 +149,12 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
     )
 
     seen = 0
-    loader = build_test_loader(cfg, dataset, batch_size=batch_size)
+    records = None
+    if distributed and jax.process_count() > 1:  # pragma: no cover - multihost
+        # stripe records per rank; CocoEvaluator allgathers predictions
+        records = dataset.records[jax.process_index()::jax.process_count()]
+    loader = build_test_loader(cfg, dataset, batch_size=batch_size,
+                               records=records)
     for batch in loader:
         dets, masks = apply_fn(
             variables, jnp.asarray(batch["image"]), jnp.asarray(batch["image_sizes"])

@@ -467,7 +467,8 @@ class AFExtractorTrainer(_BaseTrainer):
         if st.det_stats:
             variables["batch_stats"] = st.det_stats
         results = run_inference(
-            cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
+            cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0]),
+            distributed=True,  # per-rank stripes + allgather (1-proc no-op)
         )
         from .testing import verify_results
 
@@ -588,7 +589,8 @@ class TargetDetectorTrainer(_BaseTrainer):
         if st.stats:
             variables["batch_stats"] = st.stats
         results = run_inference(
-            cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0])
+            cfg, model, variables, get_dataset(cfg.DATASETS.TEST[0]),
+            distributed=True,  # per-rank stripes + allgather (1-proc no-op)
         )
         from .testing import verify_results
 

@@ -57,7 +57,10 @@ def main(args):
     if cfg.TEST.AUG.ENABLED:
         results = run_tta_inference(cfg, model, variables, dataset)
     else:
-        results = run_inference(cfg, model, variables, dataset)
+        # multi-host: each rank evaluates its record stripe and the
+        # evaluator allgathers (single-process: both are no-ops)
+        results = run_inference(cfg, model, variables, dataset,
+                                distributed=True)
     print(results)
     verify_results(cfg, results)  # ref run_net.py:100-101
     return results

@@ -30,6 +30,12 @@ def main():
     p.add_argument("--output", required=True)
     p.add_argument("--score-thresh", type=float, default=0.9)
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--categories-from", default=None,
+                   help="COCO annotations json whose categories (official "
+                        "ids + names) the pseudo labels should use — "
+                        "REQUIRED for training on the union with real "
+                        "COCO (contiguous 1..N ids would mislabel "
+                        "classes there)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
 
@@ -39,6 +45,8 @@ def main():
 
     from afigan_tpu.config import get_cfg
     from afigan_tpu.data.coco import read_image
+    from afigan_tpu.engine.inference import paste_masks
+    from afigan_tpu.evaluation.rle import encode_mask
     from afigan_tpu.data.transforms import test_transform
     from afigan_tpu.engine.inference import rescale_boxes
     from afigan_tpu.engine.weights import load_weights
@@ -71,11 +79,32 @@ def main():
         files = files[: args.max_images]
 
     images, annotations = [], []
-    ann_id = 1
-    # COCO contiguous class index → official category id (80-class default)
-    cat_ids = list(range(1, cfg.MODEL.ROI_HEADS.NUM_CLASSES + 1))
+    # high base keeps annotation ids collision-free when the json is
+    # merged with real COCO annotations (which use smaller ids)
+    ann_id = 1 << 28
+    if args.categories_from:
+        with open(args.categories_from) as f:
+            categories = sorted(json.load(f)["categories"], key=lambda c: c["id"])
+        assert len(categories) >= cfg.MODEL.ROI_HEADS.NUM_CLASSES, (
+            f"{args.categories_from} has {len(categories)} categories < "
+            f"NUM_CLASSES {cfg.MODEL.ROI_HEADS.NUM_CLASSES}"
+        )
+        cat_ids = [c["id"] for c in categories]
+    else:
+        # standalone use: contiguous ids registerable by CocoDataset.
+        # NOT safe to merge with real COCO jsons (pass --categories-from).
+        categories = [
+            {"id": c, "name": f"class{c}"}
+            for c in range(1, cfg.MODEL.ROI_HEADS.NUM_CLASSES + 1)
+        ]
+        cat_ids = [c["id"] for c in categories]
 
-    for img_id, fname in enumerate(files, start=1):
+    for seq, fname in enumerate(files, start=1):
+        # COCO unlabeled2017 filenames encode the official image id
+        # (000000xxxxxx.jpg) — reuse it so ids don't collide with real
+        # train2017 ids when the jsons are merged; otherwise offset.
+        stem = os.path.splitext(fname)[0]
+        img_id = int(stem) if stem.isdigit() else (1 << 24) + seq
         path = os.path.join(args.image_dir, fname)
         img = read_image(path, cfg.INPUT.FORMAT)
         oh, ow = img.shape[:2]
@@ -86,7 +115,7 @@ def main():
                                required_size_divisibility(cfg))
         padded = pad_to_canvas(resized.astype(np.float32), canvas)
 
-        dets, _ = apply_fn(
+        dets, masks = apply_fn(
             variables, jnp.asarray(padded[None]), jnp.asarray([[rh, rw]], jnp.int32)
         )
         boxes = rescale_boxes(np.asarray(dets.boxes)[0], (rh, rw), (oh, ow))
@@ -94,26 +123,37 @@ def main():
         classes = np.asarray(dets.classes)[0]
         valid = np.asarray(dets.valid)[0] & (scores >= args.score_thresh)
 
+        # MASK_ON: emit segmentations too — a pseudo instance WITHOUT a
+        # mask trains the mask head against an all-zero target
+        full_masks = None
+        if masks is not None:
+            full_masks = paste_masks(
+                np.asarray(masks)[0], boxes, np.asarray(dets.valid)[0], oh, ow
+            )
+
         images.append({"id": img_id, "file_name": fname, "height": oh, "width": ow})
         for j in np.nonzero(valid)[0]:
             x1, y1, x2, y2 = boxes[j]
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": img_id,
-                    "category_id": int(cat_ids[int(classes[j])]),
-                    "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
-                    "area": float((x2 - x1) * (y2 - y1)),
-                    "iscrowd": 0,
-                    "score": float(scores[j]),
-                }
-            )
+            ann = {
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": int(cat_ids[int(classes[j])]),
+                "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                "area": float((x2 - x1) * (y2 - y1)),
+                "iscrowd": 0,
+                "score": float(scores[j]),
+            }
+            if full_masks is not None and full_masks[j] is not None:
+                rle = encode_mask(full_masks[j])
+                ann["segmentation"] = rle
+                ann["area"] = float(np.asarray(full_masks[j]).sum())
+            annotations.append(ann)
             ann_id += 1
 
     coco = {
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": c, "name": f"class{c}"} for c in cat_ids],
+        "categories": categories,
     }
     with open(args.output, "w") as f:
         json.dump(coco, f)
