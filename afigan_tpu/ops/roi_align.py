@@ -675,36 +675,45 @@ def _pallas_pool_forward(features, boxes, strides, output_size,
     # wmax columns), so no valid tap can fall outside it. Top-K selection
     # is over the flattened batch (K total slots, not per image); beyond
     # K overflowing ROIs the main-pass (window-truncated) value is kept.
+    # The pass is gated behind lax.cond: with the aligned-up clip bounds
+    # ordinary ROIs never overflow, and the correction's K full-level
+    # window DMAs (tall_r x wmax x C each) are pure waste on the common
+    # all-in-window call.
     if overflow_slots > 0 and r > 0:
         overflow = (max_rel_y > win_r - 1.0) | (max_rel_x > win_c - 1.0)
         k_slots = min(int(overflow_slots), b * r)
-        _, sel = jax.lax.top_k(overflow.astype(jnp.float32), k_slots)
 
-        tall_r = int(geo["pad_h"].max())  # multiple of 8; covers any level
-        wmax = geo["wmax"]
-        base_abs = (img_idx * geo["sumh"] + geo["lvl_base"])[sel]
-        # Row start may go NEGATIVE (window reaches into the previous
-        # level's rows — weights there are zero) so the slice never runs
-        # past the end of concat2. All terms are multiples of 8.
-        local_start = jnp.minimum(0, (b * geo["sumh"] - tall_r) - base_abs)
-        ry2, _ = _pallas_axis_matrix(
-            geo["ys"][sel], geo["lvl_h"][sel], local_start, tall_r, p,
-            geo["s"])
-        rx2, _ = _pallas_axis_matrix(
-            geo["xs"][sel], geo["lvl_w"][sel], jnp.zeros_like(local_start),
-            wmax, p, geo["s"])
-        corrected = fused_window_pool(
-            concat2, ((base_abs + local_start) // 8).astype(jnp.int32),
-            jnp.zeros((k_slots,), jnp.int32),
-            ry2.astype(dtype), rx2.astype(dtype),
-            tall_r, wmax, c, interpret=interpret,
-            vmem_limit=100 * 1024 * 1024,
+        def with_correction(out_in):
+            _, sel = jax.lax.top_k(overflow.astype(jnp.float32), k_slots)
+            tall_r = int(geo["pad_h"].max())  # multiple of 8; covers any level
+            wmax = geo["wmax"]
+            base_abs = (img_idx * geo["sumh"] + geo["lvl_base"])[sel]
+            # Row start may go NEGATIVE (window reaches into the previous
+            # level's rows — weights there are zero) so the slice never
+            # runs past the end of concat2. All terms are multiples of 8.
+            local_start = jnp.minimum(0, (b * geo["sumh"] - tall_r) - base_abs)
+            ry2, _ = _pallas_axis_matrix(
+                geo["ys"][sel], geo["lvl_h"][sel], local_start, tall_r, p,
+                geo["s"])
+            rx2, _ = _pallas_axis_matrix(
+                geo["xs"][sel], geo["lvl_w"][sel], jnp.zeros_like(local_start),
+                wmax, p, geo["s"])
+            corrected = fused_window_pool(
+                concat2, ((base_abs + local_start) // 8).astype(jnp.int32),
+                jnp.zeros((k_slots,), jnp.int32),
+                ry2.astype(dtype), rx2.astype(dtype),
+                tall_r, wmax, c, interpret=interpret,
+                vmem_limit=100 * 1024 * 1024,
+            )
+            out_flat = out_in.reshape(b * r, p, p, c)
+            fix = jnp.where(
+                overflow[sel][:, None, None, None], corrected, out_flat[sel]
+            )
+            return out_flat.at[sel].set(fix).reshape(b, r, p, p, c)
+
+        out = jax.lax.cond(
+            jnp.any(overflow), with_correction, lambda o: o, out
         )
-        out_flat = out.reshape(b * r, p, p, c)
-        fix = jnp.where(
-            overflow[sel][:, None, None, None], corrected, out_flat[sel]
-        )
-        out = out_flat.at[sel].set(fix).reshape(b, r, p, p, c)
     return out
 
 
