@@ -323,10 +323,15 @@ _C.TPU.MASK_CANVAS = 112
 # REMAT_MODE "selective" below, which costs far less recompute.
 _C.TPU.REMAT = False
 # Remat granularity when TPU.REMAT is on. "full": every backbone block +
-# pyramid + AFI (max memory savings, ~17% slower). "selective": only the
+# pyramid + AFI (max memory savings). "selective": only the
 # memory-dominant, cheap-to-recompute parts — res2 (stride-4 planes),
 # the pyramid, and the AFI dense blocks — keeping res3-5 activations
-# stored. The batch-16 enabler with far less recompute than "full".
+# stored. CAUTION: at per-chip batch >= 16 (800x1344) "selective"
+# AOT-measures 13.4 GiB on a 15.75 GiB chip but reliably FAULTS the TPU
+# worker at run time (observed twice, 2026-08-18) — the estimate leaves
+# no headroom for runtime staging; use "full" there (measured 2.44x
+# baseline, well over the gate). res2+res3 was tried and measured WORSE
+# (15.2 GiB): XLA does not convert the extra recompute into lower peak.
 _C.TPU.REMAT_MODE = "full"
 # Training-only: approx_max_k (TPU PartialReduce, recall >= 0.95) for the
 # RPN pre-NMS per-level top-k; eval always uses exact top_k (d2 numerics).

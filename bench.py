@@ -333,10 +333,20 @@ def main():
         # allocation failure inside a Pallas DMA CRASHES the TPU worker
         # (observed: hours of tunnel downtime), so refuse to run it bare.
         print("BENCH_BATCH>=12 without remat overflows HBM and can crash "
-              "the TPU worker; enabling TPU.REMAT_MODE=selective",
+              "the TPU worker; enabling TPU.REMAT_MODE=full",
               file=sys.stderr)
         cfg.TPU.REMAT = True
-        cfg.TPU.REMAT_MODE = "selective"
+        cfg.TPU.REMAT_MODE = "full"
+    if batch >= 14 and cfg.TPU.REMAT and cfg.TPU.REMAT_MODE == "selective":
+        # Selective remat at batch 16 AOT-measures 13.4 GiB (< 15.75 GiB
+        # HBM) yet reliably faulted the TPU worker twice on 2026-08-18 —
+        # the estimate leaves no headroom for runtime staging. Full remat
+        # at batch 16 runs fine (18.66 img/s = 2.44x). Upgrade.
+        print("BENCH_REMAT=selective at BENCH_BATCH>=14 faults the TPU "
+              "worker despite fitting the AOT estimate; upgrading to "
+              "TPU.REMAT_MODE=full (see config/defaults.py REMAT_MODE note)",
+              file=sys.stderr)
+        cfg.TPU.REMAT_MODE = "full"
     h, w = 800, 1344
     max_gt = 64
 
