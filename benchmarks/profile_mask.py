@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from afigan_tpu.models.mask_head import MaskRCNNConvUpsampleHead, crop_and_resize_masks, mask_loss
-from afigan_tpu.ops.roi_align import multilevel_roi_align_fast
+from afigan_tpu.ops.roi_align import (
+    multilevel_roi_align_fast,
+    multilevel_roi_align_pallas,
+)
+
+POOLER = os.environ.get("POOLER", "pallas")  # match TPU.POOLER_IMPL default
 
 B, FG, C, P = 8, 128, 256, 14
 H, W = 800, 1344
@@ -56,6 +61,8 @@ def main():
     valid = jnp.ones((B * FG,), bool)
 
     def pool(fs, bx):
+        if POOLER == "pallas":
+            return multilevel_roi_align_pallas(tuple(fs), bx, STRIDES, P, 2, True)
         return jax.vmap(lambda *a: multilevel_roi_align_fast(
             tuple(a[:-1]), a[-1], STRIDES, P, 2, True))(*fs, bx)
 
