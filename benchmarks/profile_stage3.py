@@ -104,6 +104,65 @@ def main():
         results["full"] = timed("full", lambda s, d: step(s, d, key), state, data)
         del state, step
 
+    if want("pooler_fast"):
+        cfgf = base_cfg()
+        cfgf.TPU.POOLER_IMPL = "fast"
+        state = init_stage3_state(cfgf, jax.random.PRNGKey(0), sample_hw=(H, W),
+                                  max_gt=MAX_GT)
+        step = make_stage3_train_step(cfgf)
+        key = jax.random.PRNGKey(1)
+        results["pooler_fast"] = timed("pooler_fast",
+                                       lambda s, d: step(s, d, key), state, data)
+        del state, step
+
+    if want("pool_bwd_zero"):
+        # Same full step, but the pallas pooler's dense-matmul adjoint is
+        # replaced by a zero cotangent for the features — full - this
+        # rung == the adjoint's true in-step cost (XLA DCEs the einsums).
+        import afigan_tpu.ops.roi_align as ra
+
+        def _zero_bwd(strides, output_size, sampling_ratio, aligned,
+                      canonical_size, canonical_level, overflow_slots,
+                      res, g):
+            features, boxes = res
+            return (tuple(jnp.zeros_like(f) for f in features),
+                    jnp.zeros_like(boxes))
+
+        ra.multilevel_roi_align_pallas.defvjp(ra._pallas_fwd, _zero_bwd)
+        try:
+            state = init_stage3_state(cfg, jax.random.PRNGKey(0),
+                                      sample_hw=(H, W), max_gt=MAX_GT)
+            step = make_stage3_train_step(cfg)
+            key = jax.random.PRNGKey(1)
+            results["pool_bwd_zero"] = timed(
+                "pool_bwd_zero", lambda s, d: step(s, d, key), state, data)
+            del state, step
+        finally:
+            ra.multilevel_roi_align_pallas.defvjp(ra._pallas_fwd, ra._pallas_bwd)
+
+    if want("no_crop"):
+        # Mask targets come from a zeros stub instead of the per-ROI
+        # crop_and_resize gather — full - this rung == crop cost.
+        import afigan_tpu.models.roi_heads as rh
+
+        real_crop = rh.crop_and_resize_masks
+
+        def _zero_crop(gt_masks, gt_boxes, rois, gt_idx, out_size):
+            r = rois.shape[0]
+            return jnp.zeros((r, out_size, out_size), jnp.float32)
+
+        rh.crop_and_resize_masks = _zero_crop
+        try:
+            state = init_stage3_state(cfg, jax.random.PRNGKey(0),
+                                      sample_hw=(H, W), max_gt=MAX_GT)
+            step = make_stage3_train_step(cfg)
+            key = jax.random.PRNGKey(1)
+            results["no_crop"] = timed(
+                "no_crop", lambda s, d: step(s, d, key), state, data)
+            del state, step
+        finally:
+            rh.crop_and_resize_masks = real_crop
+
     if want("no_mask"):
         cfg2 = base_cfg()
         cfg2.MODEL.MASK_ON = False
@@ -188,6 +247,12 @@ def main():
         )
         del state
 
+    if results.get("full") and results.get("pool_bwd_zero"):
+        print(f"\npooler-adjoint share: "
+              f"{(results['full'] - results['pool_bwd_zero']) / results['full']:.1%}")
+    if results.get("full") and results.get("no_crop"):
+        print(f"mask-crop share: "
+              f"{(results['full'] - results['no_crop']) / results['full']:.1%}")
     if results.get("full") and results.get("fwd_only"):
         print(f"\nbackward share: "
               f"{(results['full'] - results['fwd_only']) / results['full']:.1%}")
