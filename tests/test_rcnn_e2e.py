@@ -163,3 +163,61 @@ def test_res5_c4_heads_build_and_run():
     dets, masks = jax.jit(lambda v: model_e.apply(v, images, sizes))(var_e)
     assert dets.boxes.shape == (1, 4, 4)
     assert masks.shape[2] == masks.shape[3]
+
+
+def test_crop_and_resize_masks_matches_gather_reference():
+    """The matmul-form mask-target crop (interpolation-matrix einsums,
+    the TPU-fast path) must reproduce the naive gather-based bilinear
+    sample exactly, including zero padding outside the canvas and
+    degenerate gt boxes."""
+    from afigan_tpu.models.mask_head import crop_and_resize_masks
+
+    def reference_crop(gt_masks, gt_boxes, rois, roi_gt_idx, out_size):
+        mh, mw = gt_masks.shape[1], gt_masks.shape[2]
+        g = gt_boxes[roi_gt_idx]
+        gw = np.maximum(g[:, 2] - g[:, 0], 1e-4)
+        gh = np.maximum(g[:, 3] - g[:, 1], 1e-4)
+        x1 = (rois[:, 0] - g[:, 0]) / gw * mw
+        x2 = (rois[:, 2] - g[:, 0]) / gw * mw
+        y1 = (rois[:, 1] - g[:, 1]) / gh * mh
+        y2 = (rois[:, 3] - g[:, 1]) / gh * mh
+        p = (np.arange(out_size, dtype=np.float32) + 0.5) / out_size
+        ys = y1[:, None] + p[None, :] * (y2 - y1)[:, None] - 0.5
+        xs = x1[:, None] + p[None, :] * (x2 - x1)[:, None] - 0.5
+        out = np.zeros((rois.shape[0], out_size, out_size), np.float32)
+        for r in range(rois.shape[0]):
+            mask = gt_masks[roi_gt_idx[r]]
+            for i in range(out_size):
+                for j in range(out_size):
+                    yy, xx = ys[r, i], xs[r, j]
+                    y0, x0 = int(np.floor(yy)), int(np.floor(xx))
+                    ly, lx = yy - y0, xx - x0
+                    acc = 0.0
+                    for dy, wy in ((0, 1 - ly), (1, ly)):
+                        for dx, wx in ((0, 1 - lx), (1, lx)):
+                            iy, ix = y0 + dy, x0 + dx
+                            if 0 <= iy < mh and 0 <= ix < mw:
+                                acc += wy * wx * mask[iy, ix]
+                    out[r, i, j] = acc
+        return out
+
+    rng = np.random.RandomState(0)
+    m, mh, mw, r, s = 5, 12, 9, 16, 7
+    gt_masks = rng.rand(m, mh, mw).astype(np.float32)
+    gt_boxes = np.zeros((m, 4), np.float32)
+    gt_boxes[:, :2] = rng.rand(m, 2) * 50
+    gt_boxes[:, 2:] = gt_boxes[:, :2] + rng.rand(m, 2) * 60 + 1
+    gt_boxes[-1] = [10, 10, 10, 10]  # degenerate
+    rois = np.zeros((r, 4), np.float32)
+    rois[:, :2] = rng.rand(r, 2) * 80 - 10  # some fully/partly off-canvas
+    rois[:, 2:] = rois[:, :2] + rng.rand(r, 2) * 70 + 0.5
+    idx = rng.randint(0, m, size=r).astype(np.int32)
+
+    got = np.asarray(
+        crop_and_resize_masks(
+            jnp.asarray(gt_masks), jnp.asarray(gt_boxes), jnp.asarray(rois),
+            jnp.asarray(idx), s,
+        )
+    )
+    want = reference_crop(gt_masks, gt_boxes, rois, idx, s)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
