@@ -111,7 +111,7 @@ def fused_window_pool(
         in_specs=[
             pl.BlockSpec((1, p, win_r), lambda i, r_, c_: (i, 0, 0)),
             pl.BlockSpec((1, p, win_c), lambda i, r_, c_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, p, p, channels), lambda i, r_, c_: (i, 0, 0, 0)

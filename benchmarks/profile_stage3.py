@@ -168,6 +168,44 @@ def main():
         finally:
             rh.crop_and_resize_masks = real_crop
 
+    if want("no_prop_sel"):
+        # RPN proposal selection (per-level top-k + decode + clip +
+        # batched NMS) replaced by a fixed slice of level-0 anchors:
+        # full - this rung == the whole selection chain's cost.
+        import afigan_tpu.models.rpn as rpn_mod
+        import afigan_tpu.models.meta_arch as ma_mod
+
+        real_gp = ma_mod.generate_proposals
+
+        def _stub_gp(anchors_per_level, logits_per_level, deltas_per_level,
+                     image_sizes, box2box, pre_nms_topk, post_nms_topk,
+                     nms_thresh, min_size=0.0, approx_topk=False):
+            b = logits_per_level[0].shape[0]
+            k = post_nms_topk
+            boxes = jnp.broadcast_to(anchors_per_level[0][:k], (b, k, 4))
+            # keep a (stop-gradient) data dependence on the logits so the
+            # RPN head itself isn't DCE'd out of the ablated program
+            s0 = jax.lax.stop_gradient(
+                logits_per_level[0].astype(jnp.float32)
+            ).reshape(b, -1)[:, :k]
+            return rpn_mod.RPNOutput(
+                proposals=boxes + 0.0 * s0[..., None],
+                scores=s0,
+                valid=jnp.ones((b, k), dtype=bool),
+            )
+
+        ma_mod.generate_proposals = _stub_gp
+        try:
+            state = init_stage3_state(cfg, jax.random.PRNGKey(0),
+                                      sample_hw=(H, W), max_gt=MAX_GT)
+            step = make_stage3_train_step(cfg)
+            key = jax.random.PRNGKey(1)
+            results["no_prop_sel"] = timed(
+                "no_prop_sel", lambda s, d: step(s, d, key), state, data)
+            del state, step
+        finally:
+            ma_mod.generate_proposals = real_gp
+
     if want("box_adjoint_zero"):
         # MASK_ON=False AND zero pooler adjoint: (no_mask - this rung)
         # == the BOX pooler adjoint's cost alone.
