@@ -318,9 +318,10 @@ _C.TPU.MAX_GT_BOXES = 100
 _C.TPU.MASK_CANVAS = 112
 # Rematerialize activations during training (jax.checkpoint): trades
 # extra forward FLOPs for activation memory. Measured on v5e: batch 8
-# fits WITHOUT remat and remat only slows it, so default off; batch 16
-# per chip (the reference's global batch on one chip) needs it — use
-# REMAT_MODE "selective" below, which costs far less recompute.
+# fits WITHOUT remat and remat only slows it, so default off. For
+# batch 16 per chip (the reference's global batch on one chip) prefer
+# TPU.GRAD_ACCUM=2 (below) — measured 24.0 img/s vs full remat's
+# 18.74 — and keep remat for shapes where even a microbatch overflows.
 _C.TPU.REMAT = False
 # Remat granularity when TPU.REMAT is on. "full": every backbone block +
 # pyramid + AFI (max memory savings). "selective": only the
@@ -333,6 +334,14 @@ _C.TPU.REMAT = False
 # baseline, well over the gate). res2+res3 was tried and measured WORSE
 # (15.2 GiB): XLA does not convert the extra recompute into lower peak.
 _C.TPU.REMAT_MODE = "full"
+# Stage-3 gradient accumulation: split each (per-device) batch into this
+# many microbatches inside the jitted step (lax.scan), averaging grads.
+# Semantics match k-way data parallelism (the same per-shard-mean-of-
+# means the shard_map path applies), so numerics are the blessed DP
+# numerics — NOT a new training regime. The TPU-native way to run the
+# reference's global batch 16 on one chip: 2 microbatches of 8, each of
+# which fits WITHOUT remat, instead of paying full-remat recompute.
+_C.TPU.GRAD_ACCUM = 1
 # Training-only: approx_max_k (TPU PartialReduce, recall >= 0.95) for the
 # RPN pre-NMS per-level top-k; eval always uses exact top_k (d2 numerics).
 _C.TPU.APPROX_TOPK = True

@@ -76,30 +76,72 @@ def init_stage3_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Stage3State:
 def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
     axis = "data" if mesh is not None else None
     det = build_model(cfg, train=True, axis_name=axis)
+    accum = max(1, int(cfg.TPU.GRAD_ACCUM))
 
     def step_fn(state: Stage3State, batch, rng):
         tx, _ = build_optimizer(cfg, state.params, _frozen_predicates(cfg))
 
-        def loss_fn(params):
-            if state.stats:
+        def loss_fn(params, stats, mb, mb_rng):
+            if stats:
                 losses, mutated = det.apply(
-                    {"params": params, "batch_stats": state.stats},
-                    batch["image"], batch["image_sizes"], batch["gt"],
-                    rngs={"sampling": rng}, mutable=["batch_stats"],
+                    {"params": params, "batch_stats": stats},
+                    mb["image"], mb["image_sizes"], mb["gt"],
+                    rngs={"sampling": mb_rng}, mutable=["batch_stats"],
                 )
                 new_stats = mutated["batch_stats"]
             else:
                 losses = det.apply(
-                    {"params": params}, batch["image"], batch["image_sizes"],
-                    batch["gt"], rngs={"sampling": rng},
+                    {"params": params}, mb["image"], mb["image_sizes"],
+                    mb["gt"], rngs={"sampling": mb_rng},
                 )
-                new_stats = state.stats
+                new_stats = stats
             total = sum(jax.tree.leaves(losses))
             return total, (losses, new_stats)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if accum == 1:
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.stats, batch, rng)
+        else:
+            # Microbatch accumulation (TPU.GRAD_ACCUM): scan over `accum`
+            # slices of the per-device batch, averaging grads/metrics —
+            # the same mean-of-per-shard-means the shard_map DP path
+            # computes, so numerics are the blessed DP numerics. BN
+            # batch_stats (when present) update sequentially through the
+            # carry, i.e. small-batch sequential semantics.
+            mbs = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, accum)
+
+            def body(carry, xs):
+                g_acc, t_acc, l_acc, stats = carry
+                mb, r = xs
+                (t, (ls, stats)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats, mb, r)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                l_acc = jax.tree.map(jnp.add, l_acc, ls)
+                return (g_acc, t_acc + t, l_acc, stats), None
+
+            # Seed the loss-dict structure from an abstract trace (no
+            # compile, no execution) so the model body is compiled ONCE,
+            # inside the scan.
+            l_shape = jax.eval_shape(
+                lambda p, s, mb, r: loss_fn(p, s, mb, r)[1][0],
+                state.params, state.stats,
+                jax.tree.map(lambda x: x[0], mbs), rngs[0],
+            )
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_l = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), l_shape)
+            (grads, total, losses, new_stats), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros(()), zero_l, state.stats), (mbs, rngs),
+            )
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            total = total * inv
+            losses = jax.tree.map(lambda v: v * inv, losses)
         if axis:
             grads = jax.lax.pmean(grads, axis)
         updates, new_opt = tx.update(grads, state.opt, state.params)

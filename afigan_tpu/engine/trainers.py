@@ -484,6 +484,18 @@ class TargetDetectorTrainer(_BaseTrainer):
 
     def __init__(self, cfg):
         super().__init__(cfg)
+        accum = max(1, int(cfg.TPU.GRAD_ACCUM))
+        if accum > 1:
+            n_dev = self.mesh.size if self.mesh is not None else 1
+            per_dev = max(
+                cfg.SOLVER.IMS_PER_BATCH // max(jax.process_count(), 1), 1
+            ) // n_dev
+            if per_dev % accum != 0:
+                raise ValueError(
+                    f"TPU.GRAD_ACCUM={accum} must divide the per-device "
+                    f"batch ({per_dev} = IMS_PER_BATCH/"
+                    f"{max(jax.process_count(), 1)} hosts/{n_dev} devices)"
+                )
         self.state = init_stage3_state(cfg, jax.random.PRNGKey(max(cfg.SEED, 0)))
         if cfg.MODEL.WEIGHTS:
             det_vars = load_weights(

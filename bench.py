@@ -328,15 +328,23 @@ def main():
 
     # Realistic training shapes: 800-short-side COCO canvas, per-chip batch.
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    if batch >= 12 and not cfg.TPU.REMAT:
+    if os.environ.get("BENCH_ACCUM"):
+        cfg.TPU.GRAD_ACCUM = int(os.environ["BENCH_ACCUM"])
+    if batch >= 12 and not cfg.TPU.REMAT and cfg.TPU.GRAD_ACCUM == 1:
         # Unrematted batch>=12 exceeds the 16 GB chip and the resulting
         # allocation failure inside a Pallas DMA CRASHES the TPU worker
         # (observed: hours of tunnel downtime), so refuse to run it bare.
-        print("BENCH_BATCH>=12 without remat overflows HBM and can crash "
-              "the TPU worker; enabling TPU.REMAT_MODE=full",
-              file=sys.stderr)
-        cfg.TPU.REMAT = True
-        cfg.TPU.REMAT_MODE = "full"
+        # Gradient accumulation (ceil(batch/8) microbatches of <=8, each
+        # of which fits without remat) keeps DP numerics and avoids the
+        # remat recompute; BENCH_REMAT still selects remat for A/B.
+        accum = -(-batch // 8)
+        print(f"BENCH_BATCH>=12 without remat overflows HBM; using "
+              f"TPU.GRAD_ACCUM={accum} (set BENCH_REMAT for the remat "
+              f"variant)", file=sys.stderr)
+        cfg.TPU.GRAD_ACCUM = accum
+    if batch % cfg.TPU.GRAD_ACCUM != 0:
+        raise SystemExit(f"BENCH_BATCH={batch} not divisible by "
+                         f"GRAD_ACCUM={cfg.TPU.GRAD_ACCUM}")
     if batch >= 14 and cfg.TPU.REMAT and cfg.TPU.REMAT_MODE == "selective":
         # Selective remat at batch 16 AOT-measures 13.4 GiB (< 15.75 GiB
         # HBM) yet reliably faulted the TPU worker twice on 2026-08-18 —

@@ -34,6 +34,10 @@ def main():
         if os.environ["BENCH_REMAT"] == "selective":
             cfg.TPU.REMAT_MODE = "selective"
     batch = int(os.environ.get("BENCH_BATCH", "16"))
+    if os.environ.get("BENCH_ACCUM"):
+        cfg.TPU.GRAD_ACCUM = int(os.environ["BENCH_ACCUM"])
+    elif batch >= 12 and not cfg.TPU.REMAT:
+        cfg.TPU.GRAD_ACCUM = -(-batch // 8)  # mirror bench.py's guard
     h, w = 800, 1344
     max_gt = 64
 

@@ -253,6 +253,46 @@ def test_stage3_selective_remat_is_numerically_identical():
     assert abs(losses["selective"] - losses[None]) < 1e-3, losses
 
 
+def test_stage3_grad_accum_matches_mean_of_microbatch_steps():
+    """TPU.GRAD_ACCUM=k scans k microbatches and AVERAGES their grads —
+    k-way DP semantics (the same per-shard mean the shard_map path
+    psum-averages). On a fresh optimizer the first SGD update is linear
+    in the grad (momentum trace starts at g; weight decay adds a
+    grad-independent term), so the accum step's param delta must equal
+    the MEAN of the k accum=1 steps' deltas, each run from the same
+    initial state on its contiguous microbatch slice with the matching
+    jax.random.split(rng, k)[i] key."""
+    cfg = _stage3_cfg()
+    cfg.MODEL.AFI_FREEZE = False
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64), max_gt=4)
+    snap = jax.device_get(state)  # steps donate their input state
+    fresh = lambda: jax.tree.map(jnp.asarray, snap)
+    batch = _det_batch(b=4, seed=3)
+    rng = jax.random.PRNGKey(1)
+
+    cfg.TPU.GRAD_ACCUM = 2
+    accum_state, metrics = make_stage3_train_step(cfg)(fresh(), batch, rng)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    cfg.TPU.GRAD_ACCUM = 1
+    step1 = make_stage3_train_step(cfg)
+    rngs = jax.random.split(rng, 2)
+    deltas = []
+    for i in range(2):
+        mb = jax.tree.map(lambda x: x[2 * i:2 * i + 2], batch)
+        si, _ = step1(fresh(), mb, rngs[i])
+        deltas.append(
+            jax.tree.map(lambda n, o: np.asarray(n) - np.asarray(o),
+                         jax.device_get(si.params), snap.params)
+        )
+
+    expected = jax.tree.map(lambda a, b: (a + b) / 2, *deltas)
+    got = jax.tree.map(lambda n, o: np.asarray(n) - np.asarray(o),
+                       jax.device_get(accum_state.params), snap.params)
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(g, e, rtol=1e-4, atol=1e-6)
+
+
 def test_stage2_multidevice_discriminator_bn_syncs():
     """Stage-2's discriminator must SyncBN across shards like stage 1:
     one multi-device step on per-shard-different data must produce the
