@@ -123,8 +123,16 @@ class DatasetMapper:
         else:
             tf = test_transform(h, w, self.min_sizes[0], self.max_size)
 
+        # keep uint8 end-to-end: the models cast to float32 in-step
+        # (meta_arch preprocess), so shipping uint8 is numerically exact
+        # while quartering host pad/stack memcpy and host->device bytes.
+        # Color jitter emits float32 for the jittered sample only; force
+        # the whole run to float32 then so one batch never mixes dtypes.
+        mapped = tf.apply_image(img)
+        if self.color_ranges is not None:
+            mapped = mapped.astype(np.float32, copy=False)
         out = {
-            "image": tf.apply_image(img).astype(np.float32),
+            "image": mapped,
             "image_id": record.get("image_id", 0),
             "orig_height": h,
             "orig_width": w,
@@ -136,7 +144,10 @@ class DatasetMapper:
             out["gt"], sel = self._make_gt(record, tf)
         if self.dual_scale:
             tf_half = tf.at_scale(0.5)
-            out["image_x0.5"] = tf_half.apply_image(img).astype(np.float32)
+            half = tf_half.apply_image(img)
+            if self.color_ranges is not None:
+                half = half.astype(np.float32, copy=False)
+            out["image_x0.5"] = half
             if self.is_train:
                 # reuse the full-res instance selection so gt and gt_x0.5
                 # slots stay aligned (the shared mask canvases require it)

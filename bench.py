@@ -293,6 +293,91 @@ def bench_inference():
     )
 
 
+def bench_flagship():
+    """Secondary mode (BENCH_STAGE=flagship): Cascade R-CNN Swin-L
+    BiFPN(AFI) inference — the 57.3-AP flagship family (box-only; the
+    config's SWINT dims ARE Swin-L, matching the reference's swint_BiFPN
+    yaml verbatim). No published speed anchor exists for this family on
+    any hardware, so vs_baseline is FLOP-matched to the d2 Mask R-CNN
+    inference anchor (10.4 img/s on V100 at F_mrcnn FLOP/img): the
+    implied reference rate is 10.4 * F_mrcnn / F_flagship."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/inference/AFI-GAN_cascade_rcnn_swint_BiFPN_ST.yaml"
+    )
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    h, w = 800, 1344
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[h, w]] * batch, jnp.int32)
+    model = build_model(cfg, train=False)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes)
+    )()
+    fwd = jax.jit(lambda v, x: model.apply(v, x, sizes))
+    # AOT memory check BEFORE executing: an HBM-overflowing Pallas DMA
+    # crashes the worker for hours (see verify skill), so refuse to run
+    # if the estimate leaves < 2.5 GiB headroom on the 15.75 GiB chip.
+    compiled = fwd.lower(variables, images).compile()
+    try:
+        mem = compiled.memory_analysis()
+        peak = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes) / 2**30
+        if peak > 13.0:
+            raise SystemExit(
+                f"flagship inference AOT peak {peak:.2f} GiB leaves too "
+                f"little HBM headroom; lower BENCH_BATCH")
+        print(f"AOT peak estimate {peak:.2f} GiB", file=sys.stderr)
+    except AttributeError:
+        pass
+    dets, _ = fwd(variables, images)  # (dets, masks); masks None (MASK_ON off)
+    jax.device_get(dets.scores)
+    _maybe_print_flops(fwd, variables, images)
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def run_once():
+        nonlocal dets
+        x = images
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dets, _ = fwd(variables, x)
+            x = images + dets.scores[0, 0] * 0  # chain: defeat dispatch overlap
+        jax.device_get(dets.scores)
+        return time.perf_counter() - t0
+
+    imgs_per_sec, stats = _best_rate(run_once, batch, iters)
+    vs = None
+    try:
+        cost = compiled.cost_analysis()
+        flagship_flops = cost.get("flops", 0) / batch if cost else 0
+        if flagship_flops:
+            # d2 zoo Mask R-CNN R-50-FPN inference: 0.096 s/im on V100;
+            # our Mask R-CNN inference FLOPs ~0.447 TFLOP/img (BENCH_DEBUG
+            # on BENCH_STAGE=infer re-derives).
+            implied_ref = 10.4 * 4.47e11 / flagship_flops
+            vs = round(imgs_per_sec / implied_ref, 3)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "inference_imgs_per_sec_per_chip_cascade_swinL_bifpn_afi_800px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": vs,
+                **stats,
+            }
+        )
+    )
+
+
 def main():
     import numpy as np
     import jax
@@ -310,6 +395,8 @@ def main():
         return bench_stage2()
     if os.environ.get("BENCH_STAGE") == "infer":
         return bench_inference()
+    if os.environ.get("BENCH_STAGE") == "flagship":
+        return bench_flagship()
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")
