@@ -437,3 +437,36 @@ def test_coco_keypoints_loaded_with_half_pixel_shift(tmp_path):
                 assert got[2] == raw_kp[2]
                 return
     raise AssertionError("no labeled keypoints found in records")
+
+
+def test_mapper_ships_uint8_unless_color_jitter(tiny_coco):
+    """The host pipeline stays uint8 end-to-end (models cast to float32
+    in-step, so uint8 transfer is exact while host memcpy and PCIe bytes
+    drop 4x); color jitter forces float32 for the WHOLE run so one
+    batch never mixes dtypes."""
+    cfg = _cfg()
+    mapper = DatasetMapper(cfg, is_train=True, dual_scale=True, seed=0)
+    out = mapper(tiny_coco.records[0])
+    assert out["image"].dtype == np.uint8
+    assert out["image_x0.5"].dtype == np.uint8
+
+    # eval path too
+    ev = DatasetMapper(cfg, is_train=False)(tiny_coco.records[0])
+    assert ev["image"].dtype == np.uint8
+
+    cfg2 = _cfg()
+    cfg2.INPUT.COLOR_JITTER.ENABLED = True
+    jit = DatasetMapper(cfg2, is_train=True, dual_scale=True, seed=0)
+    out2 = jit(tiny_coco.records[0])
+    assert out2["image"].dtype == np.float32
+    assert out2["image_x0.5"].dtype == np.float32
+
+    # collate preserves uint8 (4x smaller batches on the wire)
+    from afigan_tpu.data.loader import collate_batch
+
+    batch = collate_batch(
+        [mapper(r) for r in tiny_coco.records[:2]],
+        cfg.TPU.IMAGE_BUCKETS, 64, dual_scale=True,
+    )
+    assert batch["image"].dtype == np.uint8
+    assert batch["image_x0.5"].dtype == np.uint8
