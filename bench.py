@@ -313,10 +313,13 @@ def bench_flagship():
         "/root/repo/configs/inference/AFI-GAN_cascade_rcnn_swint_BiFPN_ST.yaml"
     )
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    h, w = 800, 1344
+    # BiFPN reaches p7 (stride 128): the production canvas for an
+    # 800-short-side image is the 128-divisible bucket 896x1408
+    # (choose_bucket(800, 1333, ..., required_size_divisibility=128)).
+    h, w = 896, 1408
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255)
-    sizes = jnp.asarray([[h, w]] * batch, jnp.int32)
+    sizes = jnp.asarray([[800, 1333]] * batch, jnp.int32)
     model = build_model(cfg, train=False)
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes)
