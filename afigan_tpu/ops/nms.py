@@ -60,14 +60,22 @@ def nms_keep_mask(
     boxes_s = boxes[order]
     valid_s = valid[order]
 
+    # NO padding of boxes_s/valid_s here. An earlier formulation padded the
+    # sorted arrays up to a block multiple with a concatenate; under vmap,
+    # XLA's while-loop-invariant-code-motion pass miscompiles that program
+    # (the hoisted pad-concat interacts badly with the early-exit while
+    # loop: deterministically wrong keep masks on CPU and TPU, jax 0.9.0).
+    # Instead the last block's start is clamped to n - block_size so it
+    # overlaps the previous block. Re-processing resolved entries is exact:
+    # greedy-NMS survivors are mutually non-suppressing, so the fixpoint
+    # leaves their decisions unchanged (idempotent), and freshly covered
+    # tail entries see every earlier keeper's suppression already applied
+    # to ``keep`` by the vectorized step.
+    block_size = min(block_size, n)
     nb = -(-n // block_size)
-    pad = nb * block_size - n
-    if pad:
-        boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)], axis=0)
-        valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)], axis=0)
 
     def block_step(k, keep):
-        start = k * block_size
+        start = jnp.minimum(k * block_size, n - block_size)
         blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block_size, 4))
         blk_keep = jax.lax.dynamic_slice(keep, (start,), (block_size,))
 
@@ -105,7 +113,12 @@ def nms_keep_mask(
         suppressed_later = jnp.any(
             blk_keep[:, None] & (iou_bn > iou_threshold), axis=0
         ) & later
-        return keep & ~suppressed_later, jnp.sum(blk_keep.astype(jnp.int32))
+        # Early-exit accounting must not double-count the overlap the
+        # clamped last block re-reads: only entries at global position
+        # >= k*block_size are newly resolved by this block.
+        fresh = (start + col) >= k * block_size
+        blk_cnt = jnp.sum((blk_keep & fresh).astype(jnp.int32))
+        return keep & ~suppressed_later, blk_cnt
 
     if stop_after <= 0:
         keep = jax.lax.fori_loop(

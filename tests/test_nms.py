@@ -96,6 +96,31 @@ def test_nms_max_out_truncation():
     assert got == want[:k]
 
 
+def test_nms_vmapped_early_exit_non_block_multiple():
+    """Regression: vmapped early-exit NMS at an n that is NOT a multiple of
+    the 128 block size. The original formulation padded the sorted arrays
+    with an in-function concatenate; under vmap, XLA's
+    while-loop-invariant-code-motion pass miscompiled that program into
+    deterministically wrong keep masks (jax 0.9.0, CPU and TPU). The
+    clamped-last-block rewrite has no pad-concat and must match the naive
+    reference exactly. This is the live RPN shape class (concat of
+    per-level top-k ≈ 8819 boxes → pad 13)."""
+    B, n, max_out = 4, 520, 64
+    all_boxes, all_scores, refs = [], [], []
+    for b in range(B):
+        boxes, scores = _random_boxes_scores(n, 100 + b)
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        refs.append(_naive_nms(boxes, scores, 0.5)[:max_out])
+    fn = jax.jit(
+        jax.vmap(lambda bb, ss: nms_padded(bb, ss, 0.5, max_out))
+    )
+    _, _, oi, ov = fn(jnp.asarray(np.stack(all_boxes)), jnp.asarray(np.stack(all_scores)))
+    for b in range(B):
+        got = list(np.asarray(oi[b])[np.asarray(ov[b])])
+        assert got == refs[b], f"batch {b}: {got[:8]} vs {refs[b][:8]}"
+
+
 def test_nms_early_termination_prefix_exact():
     """stop_after early exit must yield exactly the same top-max_out
     survivors as the fully-processed mask (prefix property), at RPN scale
