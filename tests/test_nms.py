@@ -139,3 +139,20 @@ def test_nms_early_termination_prefix_exact():
     _, sel = jax.lax.top_k(keep.astype(jnp.int32), max_out)
     np.testing.assert_array_equal(np.asarray(order[sel]), np.asarray(oi))
     np.testing.assert_array_equal(np.asarray(keep[sel]), np.asarray(ov))
+
+
+def test_nms_vmapped_small_n_below_block_size():
+    """n < the 128 block size exercises the block_size=min(block_size,n)
+    clamp (single full-array block) under vmap + jit."""
+    B, n, max_out = 3, 40, 40
+    all_boxes, all_scores, refs = [], [], []
+    for b in range(B):
+        boxes, scores = _random_boxes_scores(n, 300 + b)
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        refs.append(_naive_nms(boxes, scores, 0.5)[:max_out])
+    fn = jax.jit(jax.vmap(lambda bb, ss: nms_padded(bb, ss, 0.5, max_out)))
+    _, _, oi, ov = fn(jnp.asarray(np.stack(all_boxes)), jnp.asarray(np.stack(all_scores)))
+    for b in range(B):
+        got = list(np.asarray(oi[b])[np.asarray(ov[b])])
+        assert got == refs[b], f"batch {b}: {got[:8]} vs {refs[b][:8]}"
