@@ -151,6 +151,7 @@ def nms_padded(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    block_size: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS returning the top-``max_out`` survivors (fixed shape).
 
@@ -159,7 +160,8 @@ def nms_padded(
         out_idx: (max_out,) original indices; out_valid: (max_out,) bool.
     """
     order, keep_sorted = nms_keep_mask(
-        boxes, scores, iou_threshold, valid, stop_after=max_out
+        boxes, scores, iou_threshold, valid,
+        block_size=block_size, stop_after=max_out
     )
     # Compact survivors to the front, preserving score order (top_k on the
     # keep mask is stable: ties broken by lowest index = highest score).
@@ -180,6 +182,7 @@ def batched_nms_padded(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    block_size: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Category-aware NMS via the coordinate-offset trick (torchvision style).
 
@@ -191,6 +194,8 @@ def batched_nms_padded(
     max_coord = jnp.max(boxes) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
-    ob, osc, oi, ov = nms_padded(shifted, scores, iou_threshold, max_out, valid)
+    ob, osc, oi, ov = nms_padded(
+        shifted, scores, iou_threshold, max_out, valid, block_size=block_size
+    )
     # Return the un-shifted boxes.
     return boxes[oi], osc, oi, ov

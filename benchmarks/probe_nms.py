@@ -57,7 +57,7 @@ def make_inputs(seed=0):
     return boxes_l, scores_l
 
 
-def current_path(boxes_l, scores_l):
+def current_path(boxes_l, scores_l, block_size=128):
     boxes = jnp.concatenate(boxes_l, axis=1)
     scores = jnp.concatenate(scores_l, axis=1)
     levels = jnp.concatenate(
@@ -66,7 +66,9 @@ def current_path(boxes_l, scores_l):
     )
 
     def per_image(bi, si, li):
-        return batched_nms_padded(bi, si, li, NMS_T, POST)[:2]
+        return batched_nms_padded(
+            bi, si, li, NMS_T, POST, block_size=block_size
+        )[:2]
 
     ob, osc = jax.vmap(per_image)(boxes, scores, levels)
     return ob, osc
@@ -128,6 +130,24 @@ def main():
                   state_of=lambda out: out[0], label_width=10, imgs_per_iter=B)
     chained_timed("stacked", lambda st: (run_stk(st[0]), None), (jnp.float32(0.0),),
                   state_of=lambda out: out[0], label_width=10, imgs_per_iter=B)
+
+    # block-size sweep of the current path (sequential chain length vs
+    # per-block IoU width; all sizes are exact — same greedy result)
+    for bs in (64, 256, 384, 512):
+        f = jax.jit(lambda bl, sl, _bs=bs: current_path(bl, sl, block_size=_bs))
+        cb2, cs2 = f(boxes_l, scores_l)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(cs2), axis=1), np.sort(cs_h, axis=1), atol=1e-6
+        )
+
+        def run_bs(st, _f=f):
+            sl2 = [s + st for s in scores_l]
+            _, osc = _f(boxes_l, sl2)
+            return (osc[0, 0] * 0.0,)
+
+        chained_timed(f"blk={bs}", lambda st: (run_bs(st[0]), None),
+                      (jnp.float32(0.0),), state_of=lambda out: out[0],
+                      label_width=10, imgs_per_iter=B)
 
 
 if __name__ == "__main__":
