@@ -132,7 +132,16 @@ def main():
                   state_of=lambda out: out[0], label_width=10, imgs_per_iter=B)
 
     # block-size sweep of the current path (sequential chain length vs
-    # per-block IoU width; all sizes are exact — same greedy result)
+    # per-block IoU width; all sizes are exact — same greedy result).
+    # OPT-IN: a run of this sweep crashed the axon TPU worker
+    # (2026-08-19, "TPU worker process crashed or restarted", recovered
+    # in minutes) — plain XLA, a few MB of state, crash point unknown
+    # (tail-truncated log). Do not run against the shared chip without
+    # budgeting for a worker restart.
+    if os.environ.get("PROBE_BLOCK_SWEEP", "0") != "1":
+        print("block-size sweep skipped (PROBE_BLOCK_SWEEP=1 to enable)",
+              file=sys.stderr)
+        return
     for bs in (64, 256, 384, 512):
         f = jax.jit(lambda bl, sl, _bs=bs: current_path(bl, sl, block_size=_bs))
         cb2, cs2 = f(boxes_l, scores_l)
