@@ -156,3 +156,48 @@ def test_nms_vmapped_small_n_below_block_size():
     for b in range(B):
         got = list(np.asarray(oi[b])[np.asarray(ov[b])])
         assert got == refs[b], f"batch {b}: {got[:8]} vs {refs[b][:8]}"
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SLOW_NMS", "0") != "1",
+    reason="~8 min on CPU; run manually: RUN_SLOW_NMS=1 pytest tests/test_nms.py -k production_shape",
+)
+def test_nms_production_shape_compiled_matches_eager():
+    """Pin the exact production RPN shape class (per-level top-k concat:
+    2000*4 + 819 = 8819 boxes, 13 short of a 128-block multiple, vmapped
+    over the batch). The round-3 XLA while-loop-ICM miscompile produced
+    deterministically wrong keep masks at exactly this class while the
+    same jaxpr executed eagerly was correct — so compiled-vs-eager
+    equality at this shape is the regression oracle."""
+    B, post = 2, 1000
+    level_k = [2000, 2000, 2000, 2000, 819]
+    rng = np.random.RandomState(0)
+    boxes_l, scores_l, levels_l = [], [], []
+    for lvl, k in enumerate(level_k):
+        scale = 32 * (2 ** lvl)
+        centers = rng.rand(B, 24, 2) * [1344, 800]
+        pick = rng.randint(0, 24, size=(B, k))
+        ctr = np.take_along_axis(
+            centers, pick[..., None].repeat(2, -1), axis=1
+        ) + rng.randn(B, k, 2) * scale * 0.5
+        wh = np.exp(rng.randn(B, k, 2) * 0.4) * scale
+        b = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+        b[..., 0::2] = b[..., 0::2].clip(0, 1344)
+        b[..., 1::2] = b[..., 1::2].clip(0, 800)
+        boxes_l.append(b)
+        scores_l.append(rng.rand(B, k).astype(np.float32))
+        levels_l.append(np.full((B, k), lvl, np.int32))
+    boxes = jnp.asarray(np.concatenate(boxes_l, 1))
+    scores = jnp.asarray(np.concatenate(scores_l, 1))
+    levels = jnp.asarray(np.concatenate(levels_l, 1))
+
+    run = jax.vmap(lambda b, s, l: batched_nms_padded(b, s, l, 0.7, post))
+    _, _, oi, ov = jax.tree.map(np.asarray, jax.jit(run)(boxes, scores, levels))
+    with jax.disable_jit():
+        _, _, ei, ev = jax.tree.map(np.asarray, run(boxes, scores, levels))
+    assert (ov == ev).all()
+    assert (oi[ov] == ei[ev]).all()
