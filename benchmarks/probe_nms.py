@@ -142,7 +142,11 @@ def main():
         print("block-size sweep skipped (PROBE_BLOCK_SWEEP=1 to enable)",
               file=sys.stderr)
         return
-    for bs in (64, 256, 384, 512):
+    sizes = tuple(
+        int(x) for x in
+        os.environ.get("PROBE_BLOCK_SIZES", "64,256,384,512").split(",")
+    )
+    for bs in sizes:
         f = jax.jit(lambda bl, sl, _bs=bs: current_path(bl, sl, block_size=_bs))
         cb2, cs2 = f(boxes_l, scores_l)
         np.testing.assert_allclose(
