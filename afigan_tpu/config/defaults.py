@@ -352,6 +352,12 @@ _C.TPU.APPROX_TOPK = True
 # point-scatter backward), "windowed" (same forward, autodiff backward),
 # "gather" (per-point gather reference).
 _C.TPU.POOLER_IMPL = "pallas"
+# Swin window-attention implementation: "auto" = the fused Pallas kernel
+# (ops/pallas/window_attention.py — QK^T + bias/mask + softmax + .V in
+# VMEM, no f32 score round-trip through HBM) for TPU inference and the
+# XLA einsum path everywhere else (training needs autodiff; CPU would
+# only interpret); "pallas" / "xla" force one implementation.
+_C.TPU.SWIN_ATTN_IMPL = "auto"
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

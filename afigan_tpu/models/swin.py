@@ -93,6 +93,10 @@ class WindowAttention(nn.Module):
     window_size: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    # "xla" = einsum + f32 softmax; "pallas" = fused VMEM-resident kernel
+    # (ops/pallas/window_attention.py) that never writes the f32 score
+    # tensor to HBM — inference-only (the XLA path is used for training).
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray]):
@@ -106,10 +110,7 @@ class WindowAttention(nn.Module):
                        param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(bnw, n, 3, nh, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))  # (bnw, n, nh, hd)
-        q = jnp.transpose(q, (0, 2, 1, 3)) * scale
-        k = jnp.transpose(k, (0, 2, 3, 1))
         v = jnp.transpose(v, (0, 2, 1, 3))
-        attn = jnp.einsum("bhnd,bhdm->bhnm", q, k)  # (bnw, nh, n, n)
 
         table = self.param(
             "relative_position_bias_table",
@@ -118,16 +119,25 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_rel_pos_index(self.window_size).reshape(-1))
         bias = table[idx].reshape(n, n, nh)
-        bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, nh, n, n)
-        attn = attn.astype(jnp.float32) + bias.astype(jnp.float32)
+        bias = jnp.transpose(bias, (2, 0, 1))  # (nh, n, n)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, nh, n, n) + mask[None, :, None]
-            attn = attn.reshape(bnw, nh, n, n)
+        if self.attn_impl == "pallas":
+            from ..ops.pallas.window_attention import fused_window_attention
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            q = jnp.transpose(q, (0, 2, 1, 3))
+            k = jnp.transpose(k, (0, 2, 1, 3))
+            out = fused_window_attention(q, k, v, bias, mask, scale=scale)
+        else:
+            q = jnp.transpose(q, (0, 2, 1, 3)) * scale
+            k = jnp.transpose(k, (0, 2, 3, 1))
+            attn = jnp.einsum("bhnd,bhdm->bhnm", q, k)  # (bnw, nh, n, n)
+            attn = attn.astype(jnp.float32) + bias[None].astype(jnp.float32)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, nh, n, n) + mask[None, :, None]
+                attn = attn.reshape(bnw, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, n, c)
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
@@ -141,6 +151,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     train: bool = False
     dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -165,7 +176,8 @@ class SwinBlock(nn.Module):
 
         windows = window_partition(y, ws_eff)
         attn = WindowAttention(self.dim, self.num_heads, ws_eff,
-                               dtype=self.dtype, name="attn")(windows, mask)
+                               dtype=self.dtype, attn_impl=self.attn_impl,
+                               name="attn")(windows, mask)
         y = window_reverse(attn, ws_eff, b, hp, wp)
 
         if shift > 0:
@@ -214,10 +226,18 @@ class SwinTransformer(nn.Module):
     out_features: Sequence[str] = ("stage2", "stage3", "stage4", "stage5")
     train: bool = False
     dtype: Dtype = jnp.float32
+    # "auto" = fused Pallas window attention for TPU inference, XLA
+    # otherwise (training needs autodiff; CPU would only interpret).
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         b, h, w, _ = x.shape
+        if self.attn_impl == "auto":
+            attn_impl = ("pallas" if not self.train
+                         and jax.default_backend() == "tpu" else "xla")
+        else:
+            attn_impl = self.attn_impl
         # patch embed: 4x4 conv stride 4 (pad input to multiple of 4)
         ph, pw = (-h) % 4, (-w) % 4
         if ph or pw:
@@ -242,7 +262,7 @@ class SwinTransformer(nn.Module):
                     window_size=self.window_size,
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk]),
-                    train=self.train, dtype=self.dtype,
+                    train=self.train, dtype=self.dtype, attn_impl=attn_impl,
                     name=f"stage{i+2}/block{d}",
                 )(y)
                 blk += 1
@@ -270,4 +290,5 @@ def build_swin(cfg, train: bool = False, axis_name=None, dtype=jnp.float32) -> S
         out_features=tuple(s.OUT_FEATURES),
         train=train,
         dtype=dtype,
+        attn_impl=cfg.TPU.SWIN_ATTN_IMPL,
     )
