@@ -87,6 +87,40 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with f32 stats, param-compatible with nn.LayerNorm
+    (params "scale"/"bias" under the same module name, so checkpoints
+    and converters are unchanged).
+
+    use_pallas=True routes through ops/pallas/layer_norm.py (one fused
+    VMEM pass — the XLA lowering materializes f32 stat planes and
+    re-reads the input, ~40 ms/step across the flagship's LayerNorms).
+    The jnp path reproduces flax.linen.LayerNorm(use_fast_variance=True)
+    op-for-op and is used for training (autodiff) and CPU.
+    """
+
+    eps: float = 1e-5
+    out_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_pallas:
+            from ..ops.pallas.layer_norm import fused_layer_norm
+
+            return fused_layer_norm(x, scale, bias, eps=self.eps,
+                                    out_dtype=self.out_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        y = (xf - mean) * (jax.lax.rsqrt(var + self.eps) * scale) + bias
+        return y.astype(self.out_dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -161,8 +195,10 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
         ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
 
+        use_pallas_ln = self.attn_impl == "pallas"
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        y = FusedLayerNorm(out_dtype=self.dtype, use_pallas=use_pallas_ln,
+                           name="norm1")(x)
 
         hp = int(np.ceil(h / ws_eff)) * ws_eff
         wp = int(np.ceil(w / ws_eff)) * ws_eff
@@ -186,7 +222,8 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, self.train, name="drop_path1")(y)
 
-        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        z = FusedLayerNorm(out_dtype=self.dtype, use_pallas=use_pallas_ln,
+                           name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(z)
         z = jax.nn.gelu(z, approximate=False)
@@ -197,6 +234,7 @@ class SwinBlock(nn.Module):
 class PatchMerging(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
+    use_pallas_ln: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -209,7 +247,8 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         y = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(y.astype(jnp.float32)).astype(self.dtype)
+        y = FusedLayerNorm(out_dtype=self.dtype,
+                           use_pallas=self.use_pallas_ln, name="norm")(y)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="reduction")(y)
 
@@ -245,9 +284,9 @@ class SwinTransformer(nn.Module):
         y = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     param_dtype=jnp.float32, name="patch_embed")(x.astype(self.dtype))
         if self.patch_norm:
-            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(
-                y.astype(jnp.float32)
-            ).astype(self.dtype)
+            y = FusedLayerNorm(out_dtype=self.dtype,
+                               use_pallas=attn_impl == "pallas",
+                               name="patch_norm")(y)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -268,12 +307,14 @@ class SwinTransformer(nn.Module):
                 blk += 1
             name = f"stage{i+2}"
             if name in self.out_features:
-                o = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_{name}")(
-                    y.astype(jnp.float32)
-                ).astype(self.dtype)
+                o = FusedLayerNorm(out_dtype=self.dtype,
+                                   use_pallas=attn_impl == "pallas",
+                                   name=f"norm_{name}")(y)
                 out[name] = o
             if i < len(self.depths) - 1:
-                y = PatchMerging(dim, dtype=self.dtype, name=f"stage{i+2}/downsample")(y)
+                y = PatchMerging(dim, dtype=self.dtype,
+                                 use_pallas_ln=attn_impl == "pallas",
+                                 name=f"stage{i+2}/downsample")(y)
         return out
 
 
