@@ -352,12 +352,25 @@ _C.TPU.APPROX_TOPK = True
 # point-scatter backward), "windowed" (same forward, autodiff backward),
 # "gather" (per-point gather reference).
 _C.TPU.POOLER_IMPL = "pallas"
-# Swin window-attention implementation: "auto" = the fused Pallas kernel
-# (ops/pallas/window_attention.py — QK^T + bias/mask + softmax + .V in
-# VMEM, no f32 score round-trip through HBM) for TPU inference and the
-# XLA einsum path everywhere else (training needs autodiff; CPU would
-# only interpret); "pallas" / "xla" force one implementation.
-_C.TPU.SWIN_ATTN_IMPL = "auto"
+# Swin window-attention implementation. "pallas" = the fused VMEM
+# kernel (ops/pallas/window_attention.py), inference-only; "auto" =
+# pallas for TPU inference, xla otherwise; "xla" = einsum + f32 softmax.
+# DEFAULT IS "xla" BY MEASUREMENT: the round-4 on-chip A/B at flagship
+# shapes (Cascade Swin-L BiFPN, 896x1408 batch 4, back-to-back,
+# benchmarks/results/ab_swin_kernels_r04.jsonl) found the Pallas
+# attention kernel NEUTRAL (11.452 vs 11.454 img/s) and the Pallas
+# LayerNorm slightly NEGATIVE (11.354 vs 11.454), despite both looking
+# like clear bandwidth wins in the device trace — same lesson as the
+# fused-AFI generator post-mortem (PARITY.md): trace-plausible fusions
+# must win an A/B before shipping default-on.
+_C.TPU.SWIN_ATTN_IMPL = "xla"
+# Swin LayerNorm implementation: "auto" = follow the resolved
+# SWIN_ATTN_IMPL; "pallas" / "xla" force one implementation
+# independently of the attention kernel — the knob exists so the two
+# kernels can be A/B measured in isolation. Measured 0.9% SLOWER than
+# the XLA lowering at flagship shapes (see SWIN_ATTN_IMPL note), so the
+# default (via attn "xla") is xla.
+_C.TPU.SWIN_LN_IMPL = "auto"
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

@@ -122,9 +122,29 @@ def run_proposal_inference(cfg, model, variables, dataset, batch_size: int = 1,
     return results
 
 
+def make_eval_apply_fn(model, mesh=None):
+    """Jitted eval forward; with a mesh, the image batch is sharded over
+    the ``data`` axis and outputs are gathered back replicated (the XLA
+    all-gather replaces the reference's NCCL eval gather for the
+    single-host multi-device case; multi-host striping stays at the
+    record level, ref afigan/evaluation/coco_evaluation.py:117-144)."""
+    if mesh is None:
+        return jax.jit(lambda v, images, sizes: model.apply(v, images, sizes))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_s = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda v, images, sizes: model.apply(v, images, sizes),
+        in_shardings=(None, data_s, data_s),
+        out_shardings=repl,
+    )
+
+
 def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
                   max_images: Optional[int] = None,
-                  distributed: bool = False) -> Dict[str, Dict[str, float]]:
+                  distributed: bool = False,
+                  mesh=None) -> Dict[str, Dict[str, float]]:
     """inference_on_dataset + COCOEvaluator.evaluate (ref run_net.py:99-100)."""
     from ..data.loader import build_test_loader
 
@@ -144,9 +164,7 @@ def run_inference(cfg, model, variables, dataset, batch_size: int = 1,
         oks_sigmas=(list(cfg.TEST.KEYPOINT_OKS_SIGMAS) or None),
     )
 
-    apply_fn = jax.jit(
-        lambda v, images, sizes: model.apply(v, images, sizes)
-    )
+    apply_fn = make_eval_apply_fn(model, mesh=mesh)
 
     seen = 0
     records = None

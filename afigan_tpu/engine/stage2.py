@@ -40,6 +40,32 @@ from .solver import (
 )
 from .stage1 import LEVELS, _bce_mean, _crop_pair
 
+
+def gan_levels(cfg) -> tuple:
+    """Pyramid levels the stage-2 GAN couples (shared by extractor and
+    guide). The reference always pairs the RCNN-family p2-p6 (its stage-2
+    only ever ran FPN extractors, ref stage2_trainer.py:300-303); BiFPN
+    pyramids and p6p7-top-block FPNs (e.g. BASELINE config #3: FCOS
+    R-50-BiFPN) produce p3-p7, so the coupled set is the intersection of
+    the extractor's and the guide's pyramids."""
+    smap = {"res2": 2, "res3": 3, "res4": 4, "res5": 5,
+            "stage2": 2, "stage3": 3, "stage4": 4, "stage5": 5}
+
+    def levels_of(name: str) -> tuple:
+        if "bifpn" in name:
+            return ("p3", "p4", "p5", "p6", "p7")
+        out = [f"p{smap[f]}" for f in cfg.MODEL.FPN.IN_FEATURES]
+        tb = cfg.MODEL.FPN.TOP_BLOCK
+        if tb == "p6p7":
+            out += ["p6", "p7"]
+        elif tb == "maxpool":
+            out += ["p6"]
+        return tuple(out)
+
+    det = levels_of(cfg.MODEL.BACKBONE.NAME)
+    guide = levels_of(cfg.MODEL.GUIDE_BACKBONE.NAME or "")
+    return tuple(l for l in det if l in guide)
+
 Dtype = Any
 
 
@@ -111,6 +137,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
     axis = "data" if mesh is not None else None
     det, disc, guide = make_stage2_models(cfg, axis_name=axis)
     adv_w = cfg.MODEL.AFI.ADV_LOSS_WEIGHT
+    levels = gan_levels(cfg)
 
     def build_txs(det_params, d_params):
         dtx, _ = build_optimizer(cfg, det_params, _det_frozen_predicates(cfg))
@@ -128,7 +155,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
 
         hr_feats = guide.apply(guide_vars, batch["image"])
         real = []
-        for l in LEVELS:
+        for l in levels:
             f = jax.lax.stop_gradient(hr_feats[l]).astype(jnp.float32)
             b, h, w, c = f.shape
             real.append(jax.image.resize(f, (b, h // 2, w // 2, c), "linear"))
@@ -154,7 +181,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
                 )
                 new_stats = state.det_stats
             losses, feats = out
-            feat_list = [feats[l].astype(jnp.float32) for l in LEVELS]
+            feat_list = [feats[l].astype(jnp.float32) for l in levels]
             return (losses, feat_list), new_stats
 
         ((det_losses, fake), det_vjp, new_det_stats) = jax.vjp(
@@ -166,7 +193,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
             total = 0.0
             stats = d_stats
             metrics = {}
-            for name, rf, ff in zip(LEVELS, real, fake):
+            for name, rf, ff in zip(levels, real, fake):
                 ff = jax.lax.stop_gradient(ff)
                 rf, ff = _crop_pair(rf, ff)
                 logit_real, stats = apply_disc(d_params, stats, rf)
@@ -189,7 +216,7 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
             total = 0.0
             stats = new_d_stats
             metrics = {}
-            for name, rf, ff in zip(LEVELS, real, fake_list):
+            for name, rf, ff in zip(levels, real, fake_list):
                 rf, ff = _crop_pair(rf, ff)
                 logit_fake, stats = apply_disc(new_d_params, stats, ff)
                 adv = _bce_mean(logit_fake, 1.0)

@@ -287,7 +287,8 @@ def build_model(cfg, train: bool = False, axis_name=None,
     if arch == "FCOS":
         from .fcos import build_fcos
 
-        return build_fcos(cfg, train=train, axis_name=axis_name)
+        return build_fcos(cfg, train=train, axis_name=axis_name,
+                          return_features=return_features)
     if arch == "CenterMask":
         from .centermask import build_centermask
 

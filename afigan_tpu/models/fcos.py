@@ -212,6 +212,11 @@ class FCOS(nn.Module):
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # Stage-2 AF-extractor coupling (BASELINE config #3): training
+    # forward additionally returns the backbone pyramid so the GAN
+    # losses can be applied to it (mirrors GeneralizedRCNN's
+    # return_features; ref rcnn_extractor.py:53-70).
+    return_features: bool = False
 
     def _level_ranges(self, num_levels):
         soi = [-1] + list(self.sizes_of_interest) + [INF]
@@ -240,7 +245,10 @@ class FCOS(nn.Module):
 
         if self.train:
             assert gt is not None
-            return self._losses(logits_l, regs_l, ctrs_l, locations_l, gt)
+            losses = self._losses(logits_l, regs_l, ctrs_l, locations_l, gt)
+            if self.return_features:
+                return losses, features
+            return losses
         return self._inference(logits_l, regs_l, ctrs_l, locations_l, image_sizes)
 
     # ------------------------------------------------------------------
@@ -387,13 +395,15 @@ class FCOS(nn.Module):
         return dets, None
 
 
-def build_fcos(cfg, train: bool = False, axis_name=None):
+def build_fcos(cfg, train: bool = False, axis_name=None,
+               return_features: bool = False):
     from .build import build_backbone, _dtype_of
 
     dtype = _dtype_of(cfg)
     f = cfg.MODEL.FCOS
     backbone = build_backbone(cfg, train=train, axis_name=axis_name, dtype=dtype)
     return FCOS(
+        return_features=return_features,
         backbone=backbone,
         num_classes=f.NUM_CLASSES,
         in_features=tuple(f.IN_FEATURES),

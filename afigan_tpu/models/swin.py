@@ -186,6 +186,7 @@ class SwinBlock(nn.Module):
     train: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    use_pallas_ln: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -195,7 +196,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
         ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
 
-        use_pallas_ln = self.attn_impl == "pallas"
+        use_pallas_ln = self.use_pallas_ln
         shortcut = x
         y = FusedLayerNorm(out_dtype=self.dtype, use_pallas=use_pallas_ln,
                            name="norm1")(x)
@@ -268,6 +269,9 @@ class SwinTransformer(nn.Module):
     # "auto" = fused Pallas window attention for TPU inference, XLA
     # otherwise (training needs autodiff; CPU would only interpret).
     attn_impl: str = "auto"
+    # "auto" = follow the resolved attn_impl; "pallas"/"xla" force the
+    # LayerNorm implementation independently (A/B isolation knob).
+    ln_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -277,6 +281,18 @@ class SwinTransformer(nn.Module):
                          and jax.default_backend() == "tpu" else "xla")
         else:
             attn_impl = self.attn_impl
+        # The Pallas kernels are forward-only (no VJP): forcing them into
+        # a training graph would fail deep inside autodiff, so reject the
+        # combination up front (round-3 ADVICE #1).
+        if self.train and (attn_impl == "pallas" or self.ln_impl == "pallas"):
+            raise ValueError(
+                "TPU.SWIN_ATTN_IMPL/SWIN_LN_IMPL='pallas' is inference-only "
+                "(the fused kernels have no VJP); use 'auto' or 'xla' for "
+                "training")
+        if self.ln_impl == "auto":
+            use_pallas_ln = attn_impl == "pallas"
+        else:
+            use_pallas_ln = self.ln_impl == "pallas"
         # patch embed: 4x4 conv stride 4 (pad input to multiple of 4)
         ph, pw = (-h) % 4, (-w) % 4
         if ph or pw:
@@ -285,7 +301,7 @@ class SwinTransformer(nn.Module):
                     param_dtype=jnp.float32, name="patch_embed")(x.astype(self.dtype))
         if self.patch_norm:
             y = FusedLayerNorm(out_dtype=self.dtype,
-                               use_pallas=attn_impl == "pallas",
+                               use_pallas=use_pallas_ln,
                                name="patch_norm")(y)
 
         total_blocks = sum(self.depths)
@@ -302,18 +318,19 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk]),
                     train=self.train, dtype=self.dtype, attn_impl=attn_impl,
+                    use_pallas_ln=use_pallas_ln,
                     name=f"stage{i+2}/block{d}",
                 )(y)
                 blk += 1
             name = f"stage{i+2}"
             if name in self.out_features:
                 o = FusedLayerNorm(out_dtype=self.dtype,
-                                   use_pallas=attn_impl == "pallas",
+                                   use_pallas=use_pallas_ln,
                                    name=f"norm_{name}")(y)
                 out[name] = o
             if i < len(self.depths) - 1:
                 y = PatchMerging(dim, dtype=self.dtype,
-                                 use_pallas_ln=attn_impl == "pallas",
+                                 use_pallas_ln=use_pallas_ln,
                                  name=f"stage{i+2}/downsample")(y)
         return out
 
@@ -332,4 +349,5 @@ def build_swin(cfg, train: bool = False, axis_name=None, dtype=jnp.float32) -> S
         train=train,
         dtype=dtype,
         attn_impl=cfg.TPU.SWIN_ATTN_IMPL,
+        ln_impl=cfg.TPU.SWIN_LN_IMPL,
     )

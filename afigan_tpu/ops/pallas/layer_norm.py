@@ -68,8 +68,18 @@ def fused_layer_norm(x, scale, bias, *, eps: float = 1e-5, out_dtype=None,
     # Row blocks: big enough to amortize the grid, divisor of R so no
     # masking is needed (R = B*H*W; H and W are multiples of small
     # powers of two at every pyramid level, so a large divisor exists).
+    # If R is awkward (prime/odd) the largest divisor can degenerate to
+    # a tiny block = an R-step grid; LayerNorm is row-independent, so
+    # instead pad with zero rows to a multiple of 512 and slice the
+    # result (zero rows normalize to bias, then get dropped) —
+    # round-3 ADVICE #2.
     rb = _largest_divisor(r, 1024)
-    grid = (r // rb,)
+    r_padded = r
+    if rb < 64 and r >= 64:
+        r_padded = -(-r // 512) * 512
+        xr = jnp.pad(xr, ((0, r_padded - r), (0, 0)))
+        rb = 512
+    grid = (r_padded // rb,)
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps, out_dtype=out_dtype),
         grid=grid,
@@ -79,7 +89,9 @@ def fused_layer_norm(x, scale, bias, *, eps: float = 1e-5, out_dtype=None,
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rb, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((r_padded, c), out_dtype),
         interpret=interpret,
     )(xr, scale.reshape(1, c), bias.reshape(1, c))
+    if r_padded != r:
+        out = out[:r]
     return out.reshape(orig_shape)

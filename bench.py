@@ -312,6 +312,12 @@ def bench_flagship():
     cfg.merge_from_file(
         "/root/repo/configs/inference/AFI-GAN_cascade_rcnn_swint_BiFPN_ST.yaml"
     )
+    # A/B knobs for the round-4 kernel measurements (PARITY.md):
+    # BENCH_SWIN_ATTN / BENCH_SWIN_LN in {auto, pallas, xla}.
+    if os.environ.get("BENCH_SWIN_ATTN"):
+        cfg.TPU.SWIN_ATTN_IMPL = os.environ["BENCH_SWIN_ATTN"]
+    if os.environ.get("BENCH_SWIN_LN"):
+        cfg.TPU.SWIN_LN_IMPL = os.environ["BENCH_SWIN_LN"]
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     # BiFPN reaches p7 (stride 128): the production canvas for an
     # 800-short-side image is the 128-divisible bucket 896x1408
@@ -381,6 +387,236 @@ def bench_flagship():
     )
 
 
+def bench_stage2_fcos():
+    """Secondary mode (BENCH_STAGE=2fcos): stage-2 AF-extractor step with
+    the FCOS R-50-BiFPN detector — BASELINE config #3, the only stage
+    combination coupling the GAN to a BiFPN pyramid (shared AFI inside
+    the repeated fusion, 4 srf calls x FPN_REPEAT per forward) and FCOS
+    losses (round-3 VERDICT task 3). vs_baseline is FLOP-matched like
+    the other GAN stages (module docstring)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.engine.stage2 import init_stage2_state, make_stage2_train_step
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/step2_af_extractor_training/"
+        "step2_af_extractor_fcos_R_50_BiFPN.yaml"
+    )
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # BiFPN reaches p7: div-128 full-res canvas (896x1408), half-res 448x704
+    h, w = 896, 1408
+    hh, hw = h // 2, w // 2
+    max_gt = 64
+    rng = np.random.RandomState(0)
+    num_boxes = 12
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    valid = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        xy = rng.rand(num_boxes, 2) * [hw - 60, hh - 60]
+        wh = rng.rand(num_boxes, 2) * 90 + 10
+        boxes[i, :num_boxes] = np.concatenate([xy, xy + wh], 1)
+        valid[i, :num_boxes] = True
+
+    data = {
+        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255),
+        "image_x0.5": jnp.asarray(
+            rng.rand(batch, hh, hw, 3).astype(np.float32) * 255
+        ),
+        "image_sizes_x0.5": jnp.asarray([[hh, hw]] * batch, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(
+                rng.randint(0, 80, size=(batch, max_gt)).astype(np.int32)
+            ),
+            valid=jnp.asarray(valid),
+            masks=None,  # FCOS: box-only
+        ),
+    }
+
+    state, guide_vars = init_stage2_state(
+        cfg, jax.random.PRNGKey(0), sample_hw=(hh, hw), max_gt=max_gt
+    )
+    step = make_stage2_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+
+    # AOT HBM guard before the first-ever on-chip run of this family
+    compiled = step.lower(state, guide_vars, data, key).compile()
+    mem = compiled.memory_analysis()
+    flops_per_img = None
+    if mem is not None:
+        alias = getattr(mem, "alias_size_in_bytes", 0) or 0
+        peak = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+                + mem.temp_size_in_bytes
+                + mem.generated_code_size_in_bytes - alias) / 2**30
+        print(f"AOT peak estimate {peak:.2f} GiB", file=sys.stderr)
+        if peak > 13.0:
+            raise SystemExit(
+                f"2fcos AOT peak {peak:.2f} GiB leaves too little HBM "
+                f"headroom; lower BENCH_BATCH")
+    try:
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_img = cost["flops"] / batch
+            print(f"XLA flops/img: {flops_per_img:.4e}", file=sys.stderr)
+    except Exception:
+        pass
+
+    state, metrics = step(state, guide_vars, data, key)
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def run_once():
+        nonlocal state, metrics, key
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, guide_vars, data, sub)
+        jax.device_get(metrics["total_loss"])
+        return time.perf_counter() - t0
+
+    imgs_per_sec, stats = _best_rate(run_once, batch, iters)
+    print(
+        json.dumps(
+            {
+                "metric": "stage2_train_imgs_per_sec_per_chip_af_extractor_fcos_r50_bifpn_896px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": _flop_matched_vs_baseline(
+                    imgs_per_sec, flops_per_img
+                ),
+                **stats,
+            }
+        )
+    )
+
+
+def bench_s101():
+    """Secondary mode (BENCH_STAGE=s101): stage-3 train step for the
+    Cascade Mask R-CNN ResNeSt-101-PAFPN(AFI) family — the reference's
+    49.4/42.6-AP headline row (ref README.md:45, config
+    configs/inference/AFI-GAN_cascade_mask_rcnn_ResNeSt101_PAFPN.yaml).
+    First on-chip execution of ResNeSt (SplAt/deep-stem), PAFPN and
+    Cascade heads at production shapes (round-3 VERDICT task 2).
+
+    No published speed number exists for this family anywhere, so
+    vs_baseline is FLOP-matched to the d2 Mask R-CNN train anchor
+    exactly like stages 1/2 (module docstring): implied_ref =
+    7.64 * F3_r50 / F_s101 with F_s101 from XLA cost analysis of the
+    compiled step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/inference/AFI-GAN_cascade_mask_rcnn_ResNeSt101_PAFPN.yaml"
+    )
+    # stage-3 training solver settings (ref step3 schedule, BASELINE.md)
+    cfg.MODEL.AFI_FREEZE = False
+    cfg.SOLVER.BASE_LR = 0.02
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    if os.environ.get("BENCH_REMAT"):
+        cfg.TPU.REMAT = True
+        if os.environ["BENCH_REMAT"] == "selective":
+            cfg.TPU.REMAT_MODE = "selective"
+    if os.environ.get("BENCH_ACCUM"):
+        cfg.TPU.GRAD_ACCUM = int(os.environ["BENCH_ACCUM"])
+    h, w = 800, 1344
+    max_gt = 64
+
+    rng = np.random.RandomState(0)
+    num_boxes = 12
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    valid = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        xy = rng.rand(num_boxes, 2) * [w - 100, h - 100]
+        wh = rng.rand(num_boxes, 2) * 180 + 20
+        boxes[i, :num_boxes] = np.concatenate([xy, xy + wh], 1)
+        valid[i, :num_boxes] = True
+
+    data = {
+        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.asarray([[h, w]] * batch, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(
+                rng.randint(0, 80, size=(batch, max_gt)).astype(np.int32)
+            ),
+            valid=jnp.asarray(valid),
+            masks=jnp.asarray(rng.rand(batch, max_gt, 28, 28).astype(np.float32)),
+        ),
+    }
+
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(h, w),
+                              max_gt=max_gt)
+    step = make_stage3_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+
+    # AOT HBM guard BEFORE executing (an overflow inside a Pallas DMA
+    # crashes the TPU worker for hours — verify skill); the first on-chip
+    # run of this family has no measured precedent, so refuse anything
+    # above 13 GiB estimated (~2.5 GiB headroom on the 15.75 GiB chip).
+    compiled = step.lower(state, data, key).compile()
+    mem = compiled.memory_analysis()
+    flops_per_img = None
+    if mem is not None:
+        alias = getattr(mem, "alias_size_in_bytes", 0) or 0
+        peak = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+                + mem.temp_size_in_bytes
+                + mem.generated_code_size_in_bytes - alias) / 2**30
+        print(f"AOT peak estimate {peak:.2f} GiB", file=sys.stderr)
+        if peak > 13.0:
+            raise SystemExit(
+                f"s101 stage-3 AOT peak {peak:.2f} GiB leaves too little "
+                f"HBM headroom; lower BENCH_BATCH or set BENCH_REMAT")
+    try:
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_img = cost["flops"] / batch
+            print(f"XLA flops/img: {flops_per_img:.4e}", file=sys.stderr)
+    except Exception:
+        pass
+
+    state, metrics = step(state, data, key)
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def run_once():
+        nonlocal state, metrics, key
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, data, sub)
+        jax.device_get(metrics["total_loss"])
+        return time.perf_counter() - t0
+
+    imgs_per_sec, stats = _best_rate(run_once, batch, iters)
+    print(
+        json.dumps(
+            {
+                "metric": "stage3_train_imgs_per_sec_per_chip_cascade_resnest101_pafpn_afi_800px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": _flop_matched_vs_baseline(
+                    imgs_per_sec, flops_per_img
+                ),
+                **stats,
+            }
+        )
+    )
+
+
 def main():
     import numpy as np
     import jax
@@ -400,6 +636,10 @@ def main():
         return bench_inference()
     if os.environ.get("BENCH_STAGE") == "flagship":
         return bench_flagship()
+    if os.environ.get("BENCH_STAGE") == "s101":
+        return bench_s101()
+    if os.environ.get("BENCH_STAGE") == "2fcos":
+        return bench_stage2_fcos()
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")

@@ -65,14 +65,16 @@ def parse_event(buf):
 
 
 def parse_line(buf):
-    name = ""
+    name = display_name = ""
     events = []
     for fn, wt, v in fields(buf):
         if fn == 2:
             name = v.decode("utf-8", "replace")
+        elif fn == 11:  # XLine.display_name — some planes set only this
+            display_name = v.decode("utf-8", "replace")
         elif fn == 4:
             events.append(parse_event(v))
-    return name, events
+    return name or display_name, events
 
 
 def parse_md_entry(buf):

@@ -57,6 +57,21 @@ def test_module_param_tree_matches_nn_layernorm():
         assert v_new["params"][k].shape == v_old["params"][k].shape
 
 
+def test_kernel_prime_row_count_pads_instead_of_degenerate_grid():
+    """R = 7993 (prime) has no divisor <= 1024; the kernel must pad rows
+    to a block multiple rather than fall back to an R-step grid
+    (round-3 ADVICE #2) — and stay exact."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(7993, 64) * 2, jnp.float32)
+    scale = jnp.asarray(rng.randn(64) + 1, jnp.float32)
+    bias = jnp.asarray(rng.randn(64), jnp.float32)
+    got = fused_layer_norm(x, scale, bias, interpret=True)
+    assert got.shape == x.shape
+    want = _flax_ln(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_bf16_io():
     rng = np.random.RandomState(2)
     x32 = jnp.asarray(rng.randn(8, 16, 192), jnp.float32)
