@@ -232,7 +232,7 @@ def build_train_loader(cfg, dataset, dual_scale: bool = False,
     return PrefetchingLoader(
         dataset.records, sampler, mapper, per_host_batch,
         cfg.TPU.IMAGE_BUCKETS, dual_scale, cfg.DATALOADER.NUM_WORKERS,
-        size_divisibility=required_size_divisibility(cfg),
+        size_divisibility=required_size_divisibility(cfg, dual_scale=dual_scale),
     )
 
 

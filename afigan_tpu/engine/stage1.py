@@ -37,6 +37,17 @@ from .solver import build_optimizer
 LEVELS = ("p2", "p3", "p4", "p5", "p6")
 
 
+def _det_rngs(rng):
+    """Training-forward rng streams for the detector apply: "sampling"
+    (RPN/ROI subsampling) plus "dropout" (Swin DropPath — stochastic
+    depth needs its own stream; any backbone without dropout collections
+    simply ignores it)."""
+    import jax
+
+    k1, k2 = jax.random.split(rng)
+    return {"sampling": k1, "dropout": k2}
+
+
 class Stage1State(NamedTuple):
     g_params: Any
     g_opt: Any

@@ -38,7 +38,7 @@ from .solver import (
     build_optimizer,
     frozen_bn_predicate,
 )
-from .stage1 import LEVELS, _bce_mean, _crop_pair
+from .stage1 import LEVELS, _bce_mean, _crop_pair, _det_rngs
 
 
 def gan_levels(cfg) -> tuple:
@@ -115,7 +115,9 @@ def init_stage2_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Tuple[Stage2S
             if cfg.MODEL.KEYPOINT_ON else None
         ),
     )
-    det_vars = det.init({"params": kd, "sampling": ks}, images, sizes, gt)
+    det_vars = det.init(
+        {"params": kd, "sampling": ks, "dropout": jax.random.fold_in(ks, 1)},
+        images, sizes, gt)
     d_vars = disc.init(kdd, jnp.zeros((1, h // 4, w // 4, cfg.MODEL.AFI.IN_CHANNELS)))
     guide_vars = guide.init(kg, jnp.zeros((1, 2 * h, 2 * w, 3)))
 
@@ -171,13 +173,13 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
                 out, mutated = det.apply(
                     {"params": params, "batch_stats": state.det_stats},
                     batch["image_x0.5"], batch["image_sizes_x0.5"], gt,
-                    rngs={"sampling": rng}, mutable=["batch_stats"],
+                    rngs=_det_rngs(rng), mutable=["batch_stats"],
                 )
                 new_stats = mutated["batch_stats"]
             else:
                 out = det.apply(
                     {"params": params}, batch["image_x0.5"],
-                    batch["image_sizes_x0.5"], gt, rngs={"sampling": rng},
+                    batch["image_sizes_x0.5"], gt, rngs=_det_rngs(rng),
                 )
                 new_stats = state.det_stats
             losses, feats = out

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models import build_model
+from .stage1 import _det_rngs
 from ..models.roi_heads import GroundTruth
 from .solver import (
     afi_freeze_predicate,
@@ -60,8 +61,9 @@ def init_stage3_state(cfg, rng, sample_hw=(128, 128), max_gt=8) -> Stage3State:
             if cfg.MODEL.KEYPOINT_ON else None
         ),
     )
+    kd = jax.random.fold_in(ks, 1)
     variables = det.init(
-        {"params": kp, "sampling": ks},
+        {"params": kp, "sampling": ks, "dropout": kd},
         jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32), gt,
     )
     tx, _ = build_optimizer(cfg, variables["params"], _frozen_predicates(cfg))
@@ -86,13 +88,13 @@ def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
                 losses, mutated = det.apply(
                     {"params": params, "batch_stats": stats},
                     mb["image"], mb["image_sizes"], mb["gt"],
-                    rngs={"sampling": mb_rng}, mutable=["batch_stats"],
+                    rngs=_det_rngs(mb_rng), mutable=["batch_stats"],
                 )
                 new_stats = mutated["batch_stats"]
             else:
                 losses = det.apply(
                     {"params": params}, mb["image"], mb["image_sizes"],
-                    mb["gt"], rngs={"sampling": mb_rng},
+                    mb["gt"], rngs=_det_rngs(mb_rng),
                 )
                 new_stats = stats
             total = sum(jax.tree.leaves(losses))

@@ -413,7 +413,9 @@ class AFExtractorTrainer(_BaseTrainer):
         fwd = jax.jit(
             lambda s, image, sizes, gt, k: det.apply(
                 {"params": params, "batch_stats": s}, image, sizes, gt,
-                rngs={"sampling": k}, mutable=["batch_stats"],
+                rngs={"sampling": k,
+                      "dropout": jax.random.fold_in(k, 1)},
+                mutable=["batch_stats"],
             )[1]["batch_stats"]
         )
         loader = build_train_loader(
@@ -628,7 +630,9 @@ class TargetDetectorTrainer(_BaseTrainer):
         fwd = jax.jit(
             lambda s, image, sizes, gt, k: det.apply(
                 {"params": params, "batch_stats": s}, image, sizes, gt,
-                rngs={"sampling": k}, mutable=["batch_stats"],
+                rngs={"sampling": k,
+                      "dropout": jax.random.fold_in(k, 1)},
+                mutable=["batch_stats"],
             )[1]["batch_stats"]
         )
         loader = build_train_loader(

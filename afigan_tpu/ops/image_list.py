@@ -36,15 +36,23 @@ class ImageBatch(NamedTuple):
         return self.tensor.shape[1], self.tensor.shape[2]
 
 
-def required_size_divisibility(cfg) -> int:
+def required_size_divisibility(cfg, dual_scale: bool = False) -> int:
     """Canvas divisibility the model family needs (the d2
     ``backbone.size_divisibility`` contract, ref bifpn_sr.py:526,566-567):
     BiFPN carries a stride-128 p7 whose exact-2x up/down paths require
     every pyramid level to halve evenly — 128-divisible inputs; the
     FPN/PAFPN families (p6 top) need 64 (also keeps the x0.5 dual-scale
-    stream stride-contiguous, ref fpn_sr.py:177-184)."""
+    stream stride-contiguous, ref fpn_sr.py:177-184).
+
+    ``dual_scale``: stage-1/2 loaders feed the DETECTOR the half-res
+    stream (half canvas = full // 2), so a BiFPN extractor needs the
+    FULL canvas 256-divisible for the half to stay 128-divisible (the
+    FPN family's conv paths tolerate the 32-divisible half via their
+    ceil handling, so 64 is kept there — unchanged behavior)."""
     name = cfg.MODEL.BACKBONE.NAME.lower()
-    return 128 if "bifpn" in name else 64
+    if "bifpn" in name:
+        return 256 if dual_scale else 128
+    return 64
 
 
 def choose_bucket(h: int, w: int, buckets: Sequence[Sequence[int]],

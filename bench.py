@@ -387,6 +387,104 @@ def bench_flagship():
     )
 
 
+def bench_tta():
+    """Secondary mode (BENCH_STAGE=tta): the flagship multi-scale TTA
+    eval end-to-end on-chip — BASELINE config #5 (Cascade Swin-L
+    BiFPN(AFI), TEST.AUG 9 scales + flip, ref run_net.py:51-66), driven
+    through the REAL engine/tta.py path over a tiny on-disk COCO of
+    800x1333 images (round-3 VERDICT task 4). Each scale is its own
+    static canvas/program (first image compiles all of them; timed
+    images reuse). No speed anchor exists for TTA anywhere, so
+    vs_baseline is None; the value is imgs/sec through the full
+    18-forward + merge-NMS pipeline."""
+    import tempfile
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.data.coco import CocoDataset
+    from afigan_tpu.engine.tta import run_tta_inference, _tta_variants
+    from afigan_tpu.models import build_model
+    from afigan_tpu.ops.image_list import (choose_bucket, pad_to_canvas,
+                                           required_size_divisibility)
+    from tests.fixtures import make_tiny_coco
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/inference/AFI-GAN_cascade_rcnn_swinL_BiFPN_ST_TTA.yaml"
+    )
+    n_images = int(os.environ.get("BENCH_TTA_IMAGES", "3"))
+
+    model = build_model(cfg, train=False)
+    init_img = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    init_sz = jnp.asarray([[128, 128]], jnp.int32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, init_img, init_sz)
+    )()
+    fwd = jax.jit(lambda v, x, s: model.apply(v, x, s))
+
+    # AOT HBM guard on the LARGEST canvas the scale sweep will hit
+    # before anything executes (per-scale canvases via choose_bucket)
+    probe = np.zeros((800, 1333, 3), np.float32)
+    div = required_size_divisibility(cfg)
+    canvases = []
+    for image_v, _ in _tta_variants(cfg, probe):
+        h, w = image_v.shape[:2]
+        canvases.append(choose_bucket(h, w, cfg.TPU.IMAGE_BUCKETS, div))
+    canvases = sorted(set(canvases), key=lambda c: c[0] * c[1])
+    print(f"TTA canvases: {canvases}", file=sys.stderr)
+    big = canvases[-1]
+    lowered = fwd.lower(
+        variables, jnp.zeros((1,) + big + (3,), jnp.float32),
+        jnp.asarray([[big[0], big[1]]], jnp.int32),
+    ).compile()
+    try:
+        mem = lowered.memory_analysis()
+        peak = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes) / 2**30
+        print(f"AOT peak estimate @ {big}: {peak:.2f} GiB", file=sys.stderr)
+        if peak > 13.0:
+            raise SystemExit(
+                f"TTA largest-scale AOT peak {peak:.2f} GiB leaves too "
+                f"little HBM headroom")
+    except AttributeError:
+        pass
+    del lowered
+
+    with tempfile.TemporaryDirectory() as root:
+        json_path, img_dir = make_tiny_coco(root, num_images=n_images + 1,
+                                            hw=(800, 1333))
+        dataset = CocoDataset(json_path, img_dir)
+
+        # image 1 = warmup (compiles every scale's program)
+        run_tta_inference(cfg, model, variables, dataset, max_images=1)
+        # timed pass over the remaining images (programs all cached)
+        records = dataset.records
+        dataset.records = records[1:]
+        t0 = time.perf_counter()
+        results = run_tta_inference(cfg, model, variables, dataset,
+                                    max_images=n_images)
+        dt = time.perf_counter() - t0
+        dataset.records = records
+    assert "bbox" in results
+    imgs_per_sec = n_images / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tta_inference_imgs_per_sec_per_chip_cascade_swinL_bifpn_afi_9scale_flip",
+                "value": round(imgs_per_sec, 4),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": None,
+                "n_images": n_images,
+                "scales": list(cfg.TEST.AUG.MIN_SIZES),
+                "flip": bool(cfg.TEST.AUG.FLIP),
+            }
+        )
+    )
+
+
 def bench_stage2_fcos():
     """Secondary mode (BENCH_STAGE=2fcos): stage-2 AF-extractor step with
     the FCOS R-50-BiFPN detector — BASELINE config #3, the only stage
@@ -408,8 +506,10 @@ def bench_stage2_fcos():
         "step2_af_extractor_fcos_R_50_BiFPN.yaml"
     )
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    # BiFPN reaches p7: div-128 full-res canvas (896x1408), half-res 448x704
-    h, w = 896, 1408
+    # BiFPN consumes the HALF-RES stream, which must itself be
+    # 128-divisible → 256-divisible full canvas: 1024x1536 for an
+    # 800-short-side image (required_size_divisibility dual_scale=True)
+    h, w = 1024, 1536
     hh, hw = h // 2, w // 2
     max_gt = 64
     rng = np.random.RandomState(0)
@@ -640,6 +740,8 @@ def main():
         return bench_s101()
     if os.environ.get("BENCH_STAGE") == "2fcos":
         return bench_stage2_fcos()
+    if os.environ.get("BENCH_STAGE") == "tta":
+        return bench_tta()
 
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml")

@@ -94,3 +94,38 @@ def test_stage2_fcos_bifpn_step_runs_and_updates():
                         jax.tree.leaves(jax.device_get(new_state.d_params)))
     )
     assert det_delta > 0 and d_delta > 0
+
+
+def test_dual_scale_divisibility_bifpn_half_stream():
+    """Stage-1/2 loaders feed the detector the half-res stream: for a
+    BiFPN extractor the FULL canvas must be 256-divisible so the half
+    stays 128-divisible (BiFPN rejects anything else at trace time)."""
+    from afigan_tpu.ops.image_list import required_size_divisibility
+
+    cfg = _cfg()
+    assert required_size_divisibility(cfg) == 128
+    assert required_size_divisibility(cfg, dual_scale=True) == 256
+    # FPN family unchanged
+    r50 = get_cfg()
+    assert required_size_divisibility(r50) == 64
+    assert required_size_divisibility(r50, dual_scale=True) == 64
+
+
+def test_collate_dual_scale_bifpn_canvas():
+    from afigan_tpu.data.loader import collate_batch
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    sample = {
+        "image": np.zeros((700, 1100, 3), np.float32),
+        "image_x0.5": np.zeros((350, 550, 3), np.float32),
+        "image_id": 1,
+        "orig_height": 700,
+        "orig_width": 1100,
+    }
+    batch = collate_batch([sample], ((704, 1152),), size_divisibility=256,
+                          dual_scale=True)
+    fh, fw = batch["image"].shape[1:3]
+    assert fh % 256 == 0 and fw % 256 == 0, (fh, fw)
+    hh, hw = batch["image_x0.5"].shape[1:3]
+    assert (hh, hw) == (fh // 2, fw // 2)
+    assert hh % 128 == 0 and hw % 128 == 0

@@ -227,14 +227,31 @@ def _judge_stage1(out1, tiny):
     return checks, (fell or tiny) and adv_ok
 
 
-def _judge_stage2(out2, tiny):
+# Detector-family loss keys for the judges. "peak" keys are
+# foreground-gated (rise during RPN warmup; judged decline-from-peak,
+# see _trend_from_peak); "head" keys are judged head-vs-tail. Cascade
+# heads emit per-stage keys (loss_cls_stage0..2 — the '*' suffix sums
+# them); FCOS emits loss_fcos_{cls,loc,ctr} where loc/ctr are fg-gated.
+DET_KEYS = {
+    "rcnn": {"head": ("loss_cls",), "peak": ("loss_box_reg", "loss_mask")},
+    "cascade": {"head": ("loss_cls_stage*",),
+                "peak": ("loss_box_reg_stage*", "loss_mask")},
+    "cascade_nomask": {"head": ("loss_cls_stage*",),
+                       "peak": ("loss_box_reg_stage*",)},
+    "fcos": {"head": ("loss_fcos_cls",),
+             "peak": ("loss_fcos_loc", "loss_fcos_ctr")},
+}
+
+
+def _judge_stage2(out2, tiny, det="rcnn"):
+    keys = DET_KEYS[det]
     checks = {}
     stage_ok = True
-    for key in ("loss_cls", "loss_box_reg", "loss_mask", "content_loss_*"):
+    for key in keys["head"] + keys["peak"] + ("content_loss_*",):
         s = _series(out2, key)
         # fg-gated losses rise while the RPN warms up: judge decline
         # from the peak window (see _trend_from_peak)
-        if key in ("loss_box_reg", "loss_mask"):
+        if key in keys["peak"]:
             h, t, fell = _trend_from_peak(s)
             checks[key] = {"peak": h, "tail": t, "fell": fell}
         else:
@@ -249,12 +266,13 @@ def _judge_stage2(out2, tiny):
     return checks, stage_ok
 
 
-def _judge_stage3(out3, tiny):
+def _judge_stage3(out3, tiny, det="rcnn"):
+    keys = DET_KEYS[det]
     checks = {}
     stage_ok = True
-    for key in ("loss_cls", "loss_box_reg", "loss_mask", "total_loss"):
+    for key in keys["head"] + keys["peak"] + ("total_loss",):
         s = _series(out3, key)
-        if key in ("loss_box_reg", "loss_mask"):  # fg-gated: see above
+        if key in keys["peak"]:  # fg-gated: see above
             h, t, fell = _trend_from_peak(s)
             checks[key] = {"peak": h, "tail": t, "fell": fell}
         else:
@@ -273,14 +291,34 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="shrunken CPU-speed smoke mode")
     ap.add_argument("--stages", default="1,2,3")
+    ap.add_argument("--family", default="r50",
+                    choices=["r50", "s101", "fcos_bifpn", "swin"],
+                    help="model family: r50 = the default Mask R-CNN "
+                         "R-50-FPN progressive pipeline; s101 = stage-3 "
+                         "Cascade Mask R-CNN ResNeSt-101-PAFPN (BASELINE "
+                         "config #4 family); fcos_bifpn = stage-2 FCOS "
+                         "R-50-BiFPN (BASELINE config #3); swin = stage-3 "
+                         "Cascade R-CNN Swin-T-BiFPN (AdamW/LN/bf16 path)")
     ap.add_argument("--rejudge", action="store_true",
                     help="skip training; recompute verdicts from the "
                          "metrics.json files already in --out (use after "
                          "a check-logic change)")
     args = ap.parse_args()
 
+    # family → (per-stage yaml, judge det-key set, extra cfg overrides)
+    fam = args.family
+    if fam == "s101":
+        args.stages = "3"
+    elif fam == "fcos_bifpn":
+        args.stages = "2"
+    elif fam == "swin":
+        args.stages = "3"
+
+    det_keys = {"r50": "rcnn", "s101": "cascade",
+                "fcos_bifpn": "fcos", "swin": "cascade_nomask"}[fam]
+
     if args.rejudge:
-        summary = {"iters": args.iters, "tiny": args.tiny,
+        summary = {"iters": args.iters, "tiny": args.tiny, "family": fam,
                    "rejudged": True, "stages": {}}
         ok = True
         for s, judge in (("1", _judge_stage1), ("2", _judge_stage2),
@@ -289,7 +327,10 @@ def main():
             if s in args.stages and os.path.isfile(
                 os.path.join(out_s, "metrics.json")
             ):
-                checks, stage_ok = judge(out_s, args.tiny)
+                if s == "1":
+                    checks, stage_ok = judge(out_s, args.tiny)
+                else:
+                    checks, stage_ok = judge(out_s, args.tiny, det=det_keys)
                 summary["stages"][s] = checks
                 ok &= stage_ok
         summary["ok"] = bool(ok)
@@ -312,10 +353,50 @@ def main():
     register_dataset("dynval_train", lambda: ds)
 
     stages = {int(s) for s in args.stages.split(",")}
-    summary = {"iters": args.iters, "tiny": args.tiny, "stages": {}}
+    summary = {"iters": args.iters, "tiny": args.tiny, "family": fam,
+               "stages": {}}
     ok = True
 
     g_ckpt = d_ckpt = det_ckpt = None
+
+    def _family_overrides(cfg, stage):
+        """Family-specific config on top of _cfg (see --family help)."""
+        if fam == "s101":
+            # Cascade Mask R-CNN ResNeSt-101-PAFPN stage-3 (BASELINE #4)
+            cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
+            if args.tiny:
+                cfg.MODEL.RESNETS.DEPTH = 50  # radix/AVD/deep-stem kept
+        elif fam == "fcos_bifpn":
+            # FCOS R-50-BiFPN stage-2 (BASELINE #3); dual-scale BiFPN
+            # needs 256-divisible full canvases
+            cfg.MODEL.FCOS.NUM_CLASSES = 3
+            cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
+            if args.tiny:
+                cfg.TPU.IMAGE_BUCKETS = [[256, 256]]
+                cfg.MODEL.BIFPN.OUT_CHANNELS = 32
+                cfg.MODEL.BIFPN.FPN_REPEAT = 1
+                cfg.MODEL.AFI.IN_CHANNELS = 32
+                cfg.MODEL.FCOS.NUM_CONVS = 1
+        elif fam == "swin":
+            # Swin-T BiFPN Cascade stage-3: the AdamW + LayerNorm + bf16
+            # training path (round-3 VERDICT task 9)
+            cfg.MODEL.SWINT.EMBED_DIM = 96
+            cfg.MODEL.SWINT.DEPTHS = [2, 2, 6, 2]
+            cfg.MODEL.SWINT.NUM_HEADS = [3, 6, 12, 24]
+            cfg.MODEL.SWINT.WINDOW_SIZE = 7
+            cfg.SOLVER.OPTIMIZER = "ADAMW"
+            cfg.SOLVER.BASE_LR = 1e-4
+            cfg.SOLVER.WEIGHT_DECAY = 0.05
+            cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
+            if args.tiny:
+                cfg.TPU.IMAGE_BUCKETS = [[128, 128]]
+                cfg.MODEL.SWINT.EMBED_DIM = 32
+                cfg.MODEL.SWINT.DEPTHS = [1, 1, 1, 1]
+                cfg.MODEL.SWINT.NUM_HEADS = [2, 2, 2, 2]
+                cfg.MODEL.BIFPN.OUT_CHANNELS = 32
+                cfg.MODEL.BIFPN.FPN_REPEAT = 1
+                cfg.MODEL.AFI.IN_CHANNELS = 32
+        return cfg
 
     if 1 in stages:
         out1 = os.path.join(args.out, "s1")
@@ -329,17 +410,30 @@ def main():
         g_ckpt = os.path.join(out1, "G_0", f"model_{args.iters:07d}.msgpack")
         d_ckpt = os.path.join(out1, "D_0", f"model_{args.iters:07d}.msgpack")
 
+    s2_yaml = {
+        "r50": ("/root/repo/configs/step2_af_extractor_training/"
+                "step2_af_extractor_mask_rcnn_R_50_FPN_1x.yaml"),
+        "fcos_bifpn": ("/root/repo/configs/step2_af_extractor_training/"
+                       "step2_af_extractor_fcos_R_50_BiFPN.yaml"),
+    }.get(fam)
+    s3_yaml = {
+        "r50": "/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml",
+        "s101": ("/root/repo/configs/inference/"
+                 "AFI-GAN_cascade_mask_rcnn_ResNeSt101_PAFPN.yaml"),
+        "swin": ("/root/repo/configs/inference/"
+                 "AFI-GAN_cascade_rcnn_swint_BiFPN_ST.yaml"),
+    }.get(fam)
+
     if 2 in stages:
         out2 = os.path.join(args.out, "s2")
-        cfg2 = _cfg("/root/repo/configs/step2_af_extractor_training/"
-                    "step2_af_extractor_mask_rcnn_R_50_FPN_1x.yaml",
-                    out2, args.iters, args.tiny)
+        cfg2 = _family_overrides(
+            _cfg(s2_yaml, out2, args.iters, args.tiny), 2)
         if g_ckpt and os.path.isfile(g_ckpt):
             cfg2.MODEL.AFI_GEN_WEIGHTS = g_ckpt
         if d_ckpt and os.path.isfile(d_ckpt):
             cfg2.MODEL.AFI_DIS_WEIGHTS = d_ckpt
         AFExtractorTrainer(cfg2).train(resume=False)
-        checks, stage_ok = _judge_stage2(out2, args.tiny)
+        checks, stage_ok = _judge_stage2(out2, args.tiny, det=det_keys)
         summary["stages"]["2"] = checks
         ok &= stage_ok
         det_ckpt = os.path.join(out2, "AFExtractor",
@@ -347,12 +441,12 @@ def main():
 
     if 3 in stages:
         out3 = os.path.join(args.out, "s3")
-        cfg3 = _cfg("/root/repo/configs/step3_afigan_mask_rcnn_R_50_FPN_3x.yaml",
-                    out3, args.iters, args.tiny)
+        cfg3 = _family_overrides(
+            _cfg(s3_yaml, out3, args.iters, args.tiny), 3)
         if det_ckpt and os.path.isfile(det_ckpt):
             cfg3.MODEL.AF_EXTRACTOR_WEIGHTS = det_ckpt
         TargetDetectorTrainer(cfg3).train(resume=False)
-        checks, stage_ok = _judge_stage3(out3, args.tiny)
+        checks, stage_ok = _judge_stage3(out3, args.tiny, det=det_keys)
         summary["stages"]["3"] = checks
         ok &= stage_ok
 
