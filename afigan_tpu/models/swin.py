@@ -190,32 +190,39 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """(B, H, W, C) -> same."""
+        """(B, H, W, C) -> same.
+
+        The window size is FIXED (the detection Swin pads feature maps
+        up to multiples of it and keeps the shift active even when the
+        map is smaller than a window, ref swin_transformer.py:219-231 +
+        :370-389) — it must never shrink with the input, or the
+        relative-position-bias table's PARAM shape would depend on the
+        traced resolution (multi-scale TTA initializes once and applies
+        at every scale)."""
         b, h, w, c = x.shape
         ws = self.window_size
-        shift = self.shift_size if min(h, w) > ws else 0
-        ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
+        shift = self.shift_size
 
         use_pallas_ln = self.use_pallas_ln
         shortcut = x
         y = FusedLayerNorm(out_dtype=self.dtype, use_pallas=use_pallas_ln,
                            name="norm1")(x)
 
-        hp = int(np.ceil(h / ws_eff)) * ws_eff
-        wp = int(np.ceil(w / ws_eff)) * ws_eff
+        hp = int(np.ceil(h / ws)) * ws
+        wp = int(np.ceil(w / ws)) * ws
         y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
 
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_sw_attn_mask(hp, wp, ws_eff, shift))
+            mask = jnp.asarray(_sw_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
 
-        windows = window_partition(y, ws_eff)
-        attn = WindowAttention(self.dim, self.num_heads, ws_eff,
+        windows = window_partition(y, ws)
+        attn = WindowAttention(self.dim, self.num_heads, ws,
                                dtype=self.dtype, attn_impl=self.attn_impl,
                                name="attn")(windows, mask)
-        y = window_reverse(attn, ws_eff, b, hp, wp)
+        y = window_reverse(attn, ws, b, hp, wp)
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

@@ -111,9 +111,12 @@ def _t_window_attn(xw, sd, p, nh, ws, mask):
 
 def _t_block(x, sd, p, nh, shift):
     # x: (B, H, W, C) torch
+    # Detection-Swin semantics (ref swin_transformer.py:219-231): the
+    # window NEVER shrinks — small maps are padded up to one window and
+    # the shift stays active.
     b, h, w, c = x.shape
-    ws = WS if min(h, w) > WS else min(h, w)
-    sh = shift if min(h, w) > WS else 0
+    ws = WS
+    sh = shift
 
     shortcut = x
     y = _ln(x, sd, p + "norm1")
@@ -193,6 +196,44 @@ def test_swin_torch_parity():
         drop_path_rate=0.0, out_features=("stage2", "stage3"),
     )
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(x)))()
+    conv, report = state_dict_to_variables(
+        sd, template={"params": {"backbone": {"bottom_up": variables["params"]}}}
+    )
+    assert not report["unmatched"] and not report["mismatched"], report
+    params = merge_variables(variables["params"],
+                             conv["params"]["backbone"]["bottom_up"])
+    got = jax.jit(lambda p: model.apply({"params": p}, jnp.asarray(x)))(params)
+
+    for stage in ("stage2", "stage3"):
+        _got = np.asarray(got[stage], np.float32)
+        _want = want[stage].numpy()
+        scale = max(float(np.std(_want)), 1e-3)
+        err = float(np.abs(_got - _want).max()) / scale
+        assert err < 2e-3, f"{stage}: normalized max err {err:.2e}"
+
+
+def test_swin_torch_parity_map_smaller_than_window():
+    """Maps SMALLER than the window (16x24 input -> stage3 grid 2x3 <
+    ws 4): the detection Swin pads up to one window and keeps the shift
+    active (ref swin_transformer.py:219-231) — the param shapes must not
+    depend on resolution (multi-scale TTA inits once, applies at every
+    scale)."""
+    rng = np.random.RandomState(31)
+    sd = make_swin_sd(rng)
+    x = rng.randn(1, 16, 24, 3).astype(np.float32)
+
+    with torch.no_grad():
+        want = torch_swin(tt(x.transpose(0, 3, 1, 2)), sd)
+
+    model = SwinTransformer(
+        embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS, window_size=WS,
+        drop_path_rate=0.0, out_features=("stage2", "stage3"),
+    )
+    # init at a LARGER resolution, apply at the small one — pins the
+    # resolution-independent param shapes the TTA path requires
+    x_big = rng.randn(1, 40, 56, 3).astype(np.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(x_big)))()
     conv, report = state_dict_to_variables(
         sd, template={"params": {"backbone": {"bottom_up": variables["params"]}}}
     )
