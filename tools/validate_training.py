@@ -198,13 +198,19 @@ def _trend_from_peak(series):
     garbage (nothing matches -> tiny loss), RISE as real foregrounds get
     sampled, then decline as the heads learn — the same shape d2's real
     COCO curves show over the first ~1k iters. Head-vs-tail misreads
-    that rise as divergence; the meaningful dynamic is tail < peak."""
+    that rise as divergence; the meaningful dynamic is tail < peak.
+
+    Windows use MEDIANS, not means: fg-gated losses are per-batch spiky
+    (one batch with hard masks in a 16-image synthetic set), and a
+    single outlier record in the final window should not flip a cleanly
+    descending curve to 'not fell' (observed: r50 stage-2 loss_mask
+    0.52->0.32 over 380 iters with one 1.63 record at iter 399)."""
     v = [x for _, x in series]
     if len(v) < 4:
         return None, None, False
     q = max(1, len(v) // 4)
-    windows = [float(np.mean(v[i : i + q])) for i in range(0, len(v) - q + 1)]
-    peak, tail = max(windows), float(np.mean(v[-q:]))
+    windows = [float(np.median(v[i : i + q])) for i in range(0, len(v) - q + 1)]
+    peak, tail = max(windows), float(np.median(v[-q:]))
     return peak, tail, tail < peak
 
 
