@@ -163,15 +163,26 @@ def nms_padded(
         boxes, scores, iou_threshold, valid,
         block_size=block_size, stop_after=max_out
     )
+    # Fewer candidates than requested survivors (small canvases / sparse
+    # pyramids — e.g. a 768px BiFPN gives ~1k anchors vs POST_NMS 2000):
+    # take what exists and pad the fixed-shape outputs with invalids.
+    n = keep_sorted.shape[-1]
+    k = min(max_out, n)
     # Compact survivors to the front, preserving score order (top_k on the
     # keep mask is stable: ties broken by lowest index = highest score).
     # (stop_after=max_out: only the top-max_out kept entries are consumed
     # below, exactly the prefix the early-terminated mask guarantees.)
-    _, sel = jax.lax.top_k(keep_sorted.astype(jnp.int32), max_out)
+    _, sel = jax.lax.top_k(keep_sorted.astype(jnp.int32), k)
     out_valid = keep_sorted[sel]
     orig_idx = order[sel]
     out_boxes = boxes[orig_idx]
     out_scores = jnp.where(out_valid, scores[orig_idx], _NEG_INF)
+    if k < max_out:
+        pad = max_out - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad), constant_values=_NEG_INF)
+        orig_idx = jnp.pad(orig_idx, (0, pad))
+        out_valid = jnp.pad(out_valid, (0, pad))
     return out_boxes, out_scores, orig_idx.astype(jnp.int32), out_valid
 
 

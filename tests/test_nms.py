@@ -201,3 +201,24 @@ def test_nms_production_shape_compiled_matches_eager():
         _, _, ei, ev = jax.tree.map(np.asarray, run(boxes, scores, levels))
     assert (ov == ev).all()
     assert (oi[ov] == ei[ev]).all()
+
+
+def test_nms_padded_max_out_exceeds_candidates():
+    """Fewer candidates than max_out (a 768px BiFPN pyramid has ~1k
+    anchors vs POST_NMS_TOPK_TRAIN=2000): clamp + pad with invalids
+    instead of a top_k ValueError."""
+    import jax.numpy as jnp
+    import numpy as np
+    from afigan_tpu.ops.nms import nms_padded
+
+    rng = np.random.RandomState(0)
+    n = 7
+    xy = rng.rand(n, 2) * 50
+    boxes = jnp.asarray(np.concatenate([xy, xy + 10 + rng.rand(n, 2) * 20], 1),
+                        jnp.float32)
+    scores = jnp.asarray(rng.rand(n), jnp.float32)
+    ob, osc, oi, ov = nms_padded(boxes, scores, 0.5, max_out=32)
+    assert ob.shape == (32, 4) and osc.shape == (32,) and ov.shape == (32,)
+    k = int(np.asarray(ov).sum())
+    assert 1 <= k <= n
+    assert not np.asarray(ov)[n:].any()  # padding is invalid
