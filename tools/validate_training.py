@@ -368,7 +368,12 @@ def main():
     def _family_overrides(cfg, stage):
         """Family-specific config on top of _cfg (see --family help)."""
         if fam == "s101":
-            # Cascade Mask R-CNN ResNeSt-101-PAFPN stage-3 (BASELINE #4)
+            # Cascade Mask R-CNN ResNeSt-101-PAFPN stage-3 (BASELINE #4).
+            # The inference yaml carries no SOLVER block; the library
+            # default LR (1e-3) barely moves the cascade heads in a
+            # few hundred iters — use the reference stage-3 LR scaled
+            # to the batch (0.02 at 16 -> 0.005 at 4, rounded up).
+            cfg.SOLVER.BASE_LR = 0.01
             cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
             if args.tiny:
                 cfg.MODEL.RESNETS.DEPTH = 50  # radix/AVD/deep-stem kept
