@@ -371,6 +371,33 @@ _C.TPU.SWIN_ATTN_IMPL = "xla"
 # the XLA lowering at flagship shapes (see SWIN_ATTN_IMPL note), so the
 # default (via attn "xla") is xla.
 _C.TPU.SWIN_LN_IMPL = "auto"
+# Swin XLA-attention structure knobs (round-5 A/B levers for the two
+# hot categories in benchmarks/results/flagship_breakdown_r04.txt):
+# SWIN_QKV_LAYOUT: "headmajor" computes the window attention directly on
+# the (bnw, n, heads, hd) qkv layout (heads as an einsum batch dim, no
+# explicit head-split transposes — the breakdown's 20.2% "layout" rows
+# are bf16[...,3,nh,hd] permutes of the qkv tensor); "split" is the
+# d2-style explicit transpose chain. Default stays "split" until the
+# flagship A/B lands (evidence rule: no hot-path default without a
+# back-to-back on-chip measurement).
+_C.TPU.SWIN_QKV_LAYOUT = "split"
+# SWIN_SCORES_DTYPE: dtype the attention scores/softmax are carried in.
+# "float32" is the d2-faithful default; "bfloat16" keeps the (…, n, n)
+# score tensor in bf16 end-to-end (MXU still accumulates the QK^T
+# matmul in f32; exp/sum run in bf16) — halves the HBM bytes of the
+# softmax round-trip (~29% of flagship device time combined with the
+# adjacent reduces). Default f32 until the A/B + parity delta land.
+_C.TPU.SWIN_SCORES_DTYPE = "float32"
+# TTA batching: evaluate up to TTA_BATCH images per compiled
+# (scale, flip, canvas) program, capped so batch * canvas-pixels stays
+# under TTA_PIXEL_BUDGET (the flagship inference bench validates batch 4
+# at 832x1344 ≈ 4.5M pixels on a 16 GB chip). Batching amortizes the
+# per-program dispatch/weight-staging cost across images; identical math
+# to batch-1 (each batch element is processed independently; outputs are
+# sliced back out — pinned by tests/test_tta.py). Default 1 until the
+# BENCH_STAGE=tta batch A/B lands.
+_C.TPU.TTA_BATCH = 1
+_C.TPU.TTA_PIXEL_BUDGET = 4_500_000
 # Mesh: axis names and sizes; -1 means "all remaining devices".
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]

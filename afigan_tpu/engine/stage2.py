@@ -38,7 +38,7 @@ from .solver import (
     build_optimizer,
     frozen_bn_predicate,
 )
-from .stage1 import LEVELS, _bce_mean, _crop_pair, _det_rngs
+from .stage1 import _bce_mean, _crop_pair, _det_rngs
 
 
 def gan_levels(cfg) -> tuple:
@@ -54,12 +54,22 @@ def gan_levels(cfg) -> tuple:
     def levels_of(name: str) -> tuple:
         if "bifpn" in name:
             return ("p3", "p4", "p5", "p6", "p7")
+        unknown = [f for f in cfg.MODEL.FPN.IN_FEATURES if f not in smap]
+        if unknown:
+            raise ValueError(
+                f"stage-2 GAN coupling: unknown FPN.IN_FEATURES {unknown} "
+                f"(known: {sorted(smap)}) — extend engine/stage2.py::"
+                f"gan_levels for this backbone family")
         out = [f"p{smap[f]}" for f in cfg.MODEL.FPN.IN_FEATURES]
         tb = cfg.MODEL.FPN.TOP_BLOCK
         if tb == "p6p7":
             out += ["p6", "p7"]
         elif tb == "maxpool":
             out += ["p6"]
+        elif tb != "":  # fpn.py's contract: "maxpool" | "p6p7" | ""
+            raise ValueError(
+                f"stage-2 GAN coupling: unknown FPN.TOP_BLOCK {tb!r} "
+                f"(known: '', 'maxpool', 'p6p7')")
         return tuple(out)
 
     det = levels_of(cfg.MODEL.BACKBONE.NAME)

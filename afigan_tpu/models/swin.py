@@ -131,6 +131,15 @@ class WindowAttention(nn.Module):
     # (ops/pallas/window_attention.py) that never writes the f32 score
     # tensor to HBM — inference-only (the XLA path is used for training).
     attn_impl: str = "xla"
+    # XLA-path structure knobs (see TPU.SWIN_QKV_LAYOUT /
+    # TPU.SWIN_SCORES_DTYPE in config/defaults.py): "headmajor" contracts
+    # the (bnw, n, nh, hd) qkv tensor directly (heads ride as an einsum
+    # batch dim, so XLA folds the head split into the dot_general instead
+    # of emitting the explicit bf16[...,3,nh,hd] permutes that were 20.2%
+    # of flagship device time in flagship_breakdown_r04.txt); "split" is
+    # the d2-style transpose chain (ref swin_transformer.py:125-133).
+    qkv_layout: str = "split"
+    scores_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray]):
@@ -144,7 +153,6 @@ class WindowAttention(nn.Module):
                        param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(bnw, n, 3, nh, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))  # (bnw, n, nh, hd)
-        v = jnp.transpose(v, (0, 2, 1, 3))
 
         table = self.param(
             "relative_position_bias_table",
@@ -155,24 +163,46 @@ class WindowAttention(nn.Module):
         bias = table[idx].reshape(n, n, nh)
         bias = jnp.transpose(bias, (2, 0, 1))  # (nh, n, n)
 
+        sdt = (jnp.float32 if self.scores_dtype == "float32"
+               else jnp.dtype(self.scores_dtype))
         if self.attn_impl == "pallas":
             from ..ops.pallas.window_attention import fused_window_attention
 
             q = jnp.transpose(q, (0, 2, 1, 3))
             k = jnp.transpose(k, (0, 2, 1, 3))
+            v = jnp.transpose(v, (0, 2, 1, 3))
             out = fused_window_attention(q, k, v, bias, mask, scale=scale)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, n, c)
+        elif self.qkv_layout == "headmajor":
+            # No explicit head-split transposes: contract q·k and attn·v
+            # with heads as a batch dim of the einsum; the bias/mask add
+            # and softmax run on (bnw, nh, n, n) scores in scores_dtype
+            # (bf16 scores halve the HBM traffic of the softmax
+            # round-trip; the QK^T MXU matmul still accumulates f32).
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                              preferred_element_type=sdt)
+            attn = attn + bias[None].astype(sdt)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, nh, n, n) \
+                    + mask[None, :, None].astype(sdt)
+                attn = attn.reshape(bnw, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            out = out.reshape(bnw, n, c)
         else:
+            v = jnp.transpose(v, (0, 2, 1, 3))
             q = jnp.transpose(q, (0, 2, 1, 3)) * scale
             k = jnp.transpose(k, (0, 2, 3, 1))
             attn = jnp.einsum("bhnd,bhdm->bhnm", q, k)  # (bnw, nh, n, n)
-            attn = attn.astype(jnp.float32) + bias[None].astype(jnp.float32)
+            attn = attn.astype(sdt) + bias[None].astype(sdt)
             if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(bnw // nw, nw, nh, n, n) + mask[None, :, None]
+                attn = attn.reshape(bnw // mask.shape[0], mask.shape[0], nh, n, n) \
+                    + mask[None, :, None].astype(sdt)
                 attn = attn.reshape(bnw, nh, n, n)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, n, c)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, n, c)
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
@@ -187,6 +217,8 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     use_pallas_ln: bool = False
+    qkv_layout: str = "split"
+    scores_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -221,6 +253,8 @@ class SwinBlock(nn.Module):
         windows = window_partition(y, ws)
         attn = WindowAttention(self.dim, self.num_heads, ws,
                                dtype=self.dtype, attn_impl=self.attn_impl,
+                               qkv_layout=self.qkv_layout,
+                               scores_dtype=self.scores_dtype,
                                name="attn")(windows, mask)
         y = window_reverse(attn, ws, b, hp, wp)
 
@@ -279,6 +313,9 @@ class SwinTransformer(nn.Module):
     # "auto" = follow the resolved attn_impl; "pallas"/"xla" force the
     # LayerNorm implementation independently (A/B isolation knob).
     ln_impl: str = "auto"
+    # XLA-attention structure (TPU.SWIN_QKV_LAYOUT / SWIN_SCORES_DTYPE).
+    qkv_layout: str = "split"
+    scores_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -326,6 +363,8 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk]),
                     train=self.train, dtype=self.dtype, attn_impl=attn_impl,
                     use_pallas_ln=use_pallas_ln,
+                    qkv_layout=self.qkv_layout,
+                    scores_dtype=self.scores_dtype,
                     name=f"stage{i+2}/block{d}",
                 )(y)
                 blk += 1
@@ -357,4 +396,6 @@ def build_swin(cfg, train: bool = False, axis_name=None, dtype=jnp.float32) -> S
         dtype=dtype,
         attn_impl=cfg.TPU.SWIN_ATTN_IMPL,
         ln_impl=cfg.TPU.SWIN_LN_IMPL,
+        qkv_layout=cfg.TPU.SWIN_QKV_LAYOUT,
+        scores_dtype=cfg.TPU.SWIN_SCORES_DTYPE,
     )

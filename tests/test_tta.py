@@ -83,3 +83,62 @@ def test_tta_inference(tmp_path):
     # the fused probabilities genuinely mix augmentations
     assert not np.allclose(avg_multi, avg_single, atol=1e-4)
     assert float(np.abs(avg_multi - avg_single).max()) > 1e-3
+
+
+def test_tta_batching_matches_batch1(tmp_path):
+    """TPU.TTA_BATCH>1 is a pure dispatch-shape change: batching images
+    into one compiled (scale, canvas) program must produce the same
+    merged detections and APs as batch-1 (each batch element is
+    processed independently; partial batches are padded and sliced)."""
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.engine.tta import run_tta_inference
+    from afigan_tpu.models import build_model
+
+    json_path, img_dir = make_tiny_coco(str(tmp_path), num_images=3, hw=(64, 96))
+    ds = CocoDataset(json_path, img_dir)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/inference/AFI-GAN_maskrcnn_R_50_FPN.yaml")
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.AFI.IN_CHANNELS = 32
+    cfg.MODEL.AFI.N_RDB = 1
+    cfg.MODEL.AFI.GROWTH_RATE = 8
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 96
+    cfg.TEST.AUG.FLIP = True
+    cfg.TPU.IMAGE_BUCKETS = [[64, 96], [96, 96], [128, 128]]
+
+    model = build_model(cfg, train=False)
+    h, w = 64, 96
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32),
+        )
+    )()
+
+    results = {}
+    for batch in (1, 4):  # 4 > n_images at some canvases -> partial pad
+        c = cfg.clone()
+        c.defrost()
+        c.TPU.TTA_BATCH = batch
+        c.TPU.TTA_PIXEL_BUDGET = 10**9
+        c.freeze()
+        results[batch] = run_tta_inference(c, model, variables, ds)
+    for task in results[1]:
+        for k, v1 in results[1][task].items():
+            v4 = results[4][task][k]
+            if np.isnan(v1) and np.isnan(v4):
+                continue
+            assert v4 == pytest.approx(v1, abs=1e-6), (task, k, v1, v4)

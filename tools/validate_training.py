@@ -296,7 +296,13 @@ def main():
     ap.add_argument("--out", default="/tmp/dynval")
     ap.add_argument("--tiny", action="store_true",
                     help="shrunken CPU-speed smoke mode")
-    ap.add_argument("--stages", default="1,2,3")
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stages (default 1,2,3; non-r50 "
+                         "families run a single fixed stage and reject "
+                         "a conflicting value)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override SOLVER.BASE_LR (controlled-variant "
+                         "dynamics experiments)")
     ap.add_argument("--family", default="r50",
                     choices=["r50", "s101", "fcos_bifpn", "swin"],
                     help="model family: r50 = the default Mask R-CNN "
@@ -313,12 +319,14 @@ def main():
 
     # family → (per-stage yaml, judge det-key set, extra cfg overrides)
     fam = args.family
-    if fam == "s101":
-        args.stages = "3"
-    elif fam == "fcos_bifpn":
-        args.stages = "2"
-    elif fam == "swin":
-        args.stages = "3"
+    fixed_stage = {"s101": "3", "fcos_bifpn": "2", "swin": "3"}.get(fam)
+    if fixed_stage is not None:
+        if args.stages is not None and args.stages != fixed_stage:
+            ap.error(f"--family {fam} runs stage {fixed_stage} only; "
+                     f"--stages {args.stages} conflicts")
+        args.stages = fixed_stage
+    elif args.stages is None:
+        args.stages = "1,2,3"
 
     det_keys = {"r50": "rcnn", "s101": "cascade",
                 "fcos_bifpn": "fcos", "swin": "cascade_nomask"}[fam]
@@ -365,15 +373,20 @@ def main():
 
     g_ckpt = d_ckpt = det_ckpt = None
 
-    def _family_overrides(cfg, stage):
+    def _family_overrides(cfg):
         """Family-specific config on top of _cfg (see --family help)."""
         if fam == "s101":
             # Cascade Mask R-CNN ResNeSt-101-PAFPN stage-3 (BASELINE #4).
             # The inference yaml carries no SOLVER block; the library
             # default LR (1e-3) barely moves the cascade heads in a
-            # few hundred iters — use the reference stage-3 LR scaled
-            # to the batch (0.02 at 16 -> 0.005 at 4, rounded up).
-            cfg.SOLVER.BASE_LR = 0.01
+            # few hundred iters — use the reference stage-3 LR linearly
+            # scaled to the batch (0.02 at 16 -> 0.005 at 4). Round 4 ran
+            # this at 0.01 ("rounded up" = 2x the scaled LR) and
+            # total_loss CLIMBED from ~1.16 to ~2.0-2.6 over iters
+            # 100-600 (benchmarks/DYNVAL_r04_s101_600.json, ok:false);
+            # the exactly-scaled LR is the controlled variant the round-4
+            # VERDICT asked for.
+            cfg.SOLVER.BASE_LR = 0.005
             cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
             if args.tiny:
                 cfg.MODEL.RESNETS.DEPTH = 50  # radix/AVD/deep-stem kept
@@ -438,7 +451,7 @@ def main():
     if 2 in stages:
         out2 = os.path.join(args.out, "s2")
         cfg2 = _family_overrides(
-            _cfg(s2_yaml, out2, args.iters, args.tiny), 2)
+            _cfg(s2_yaml, out2, args.iters, args.tiny))
         if g_ckpt and os.path.isfile(g_ckpt):
             cfg2.MODEL.AFI_GEN_WEIGHTS = g_ckpt
         if d_ckpt and os.path.isfile(d_ckpt):
@@ -453,7 +466,7 @@ def main():
     if 3 in stages:
         out3 = os.path.join(args.out, "s3")
         cfg3 = _family_overrides(
-            _cfg(s3_yaml, out3, args.iters, args.tiny), 3)
+            _cfg(s3_yaml, out3, args.iters, args.tiny))
         if det_ckpt and os.path.isfile(det_ckpt):
             cfg3.MODEL.AF_EXTRACTOR_WEIGHTS = det_ckpt
         TargetDetectorTrainer(cfg3).train(resume=False)
