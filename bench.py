@@ -318,6 +318,12 @@ def bench_flagship():
         cfg.TPU.SWIN_ATTN_IMPL = os.environ["BENCH_SWIN_ATTN"]
     if os.environ.get("BENCH_SWIN_LN"):
         cfg.TPU.SWIN_LN_IMPL = os.environ["BENCH_SWIN_LN"]
+    # Round-5 structure A/B knobs: BENCH_SWIN_QKV in {split, headmajor},
+    # BENCH_SWIN_SCORES in {float32, bfloat16} (see config/defaults.py).
+    if os.environ.get("BENCH_SWIN_QKV"):
+        cfg.TPU.SWIN_QKV_LAYOUT = os.environ["BENCH_SWIN_QKV"]
+    if os.environ.get("BENCH_SWIN_SCORES"):
+        cfg.TPU.SWIN_SCORES_DTYPE = os.environ["BENCH_SWIN_SCORES"]
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     # BiFPN reaches p7 (stride 128): the production canvas for an
     # 800-short-side image is the 128-divisible bucket 896x1408
@@ -415,6 +421,10 @@ def bench_tta():
     cfg.merge_from_file(
         "/root/repo/configs/inference/AFI-GAN_cascade_rcnn_swinL_BiFPN_ST_TTA.yaml"
     )
+    # Round-5 A/B knob: images per compiled (scale, canvas) program
+    # (engine/tta.py batching; pixel budget caps the big canvases).
+    if os.environ.get("BENCH_TTA_BATCH"):
+        cfg.TPU.TTA_BATCH = int(os.environ["BENCH_TTA_BATCH"])
     n_images = int(os.environ.get("BENCH_TTA_IMAGES", "3"))
 
     model = build_model(cfg, train=False)
@@ -436,9 +446,14 @@ def bench_tta():
     canvases = sorted(set(canvases), key=lambda c: c[0] * c[1])
     print(f"TTA canvases: {canvases}", file=sys.stderr)
     big = canvases[-1]
+    # guard at the batch the dispatcher will actually use on this canvas
+    from afigan_tpu.engine.tta import tta_batch_for_canvas
+
+    big_b = tta_batch_for_canvas(cfg, big)
+    print(f"largest-canvas batch: {big_b}", file=sys.stderr)
     lowered = fwd.lower(
-        variables, jnp.zeros((1,) + big + (3,), jnp.float32),
-        jnp.asarray([[big[0], big[1]]], jnp.int32),
+        variables, jnp.zeros((big_b,) + big + (3,), jnp.float32),
+        jnp.asarray([[big[0], big[1]]] * big_b, jnp.int32),
     ).compile()
     try:
         mem = lowered.memory_analysis()
@@ -717,6 +732,119 @@ def bench_s101():
     )
 
 
+def bench_centermask():
+    """Secondary mode (BENCH_STAGE=centermask): stage-3 train step for
+    CenterMask R-50-BiFPN(AFI) — the reference README table's CenterMask
+    rows (ref README.md:36,44; produced there with the external
+    CenterMask2 codebase). First on-chip execution of the FCOS+SAG-mask
+    meta-arch at production shapes (round-4 VERDICT task 6).
+
+    vs_baseline is FLOP-matched to the d2 Mask R-CNN train anchor like
+    the other no-published-speed families (module docstring). Canvas is
+    896x1408 (BiFPN needs 128-divisible sides, same as the flagship)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from afigan_tpu.config import get_cfg
+    from afigan_tpu.engine.stage3 import init_stage3_state, make_stage3_train_step
+    from afigan_tpu.models.roi_heads import GroundTruth
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/repo/configs/inference/AFI-GAN_centermask_R_50_BiFPN.yaml"
+    )
+    cfg.MODEL.AFI_FREEZE = False
+    cfg.SOLVER.BASE_LR = 0.01
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    if os.environ.get("BENCH_REMAT"):
+        cfg.TPU.REMAT = True
+        if os.environ["BENCH_REMAT"] == "selective":
+            cfg.TPU.REMAT_MODE = "selective"
+    h, w = 896, 1408
+    max_gt = 64
+
+    rng = np.random.RandomState(0)
+    num_boxes = 12
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    valid = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        xy = rng.rand(num_boxes, 2) * [w - 100, h - 100]
+        wh = rng.rand(num_boxes, 2) * 180 + 20
+        boxes[i, :num_boxes] = np.concatenate([xy, xy + wh], 1)
+        valid[i, :num_boxes] = True
+
+    data = {
+        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.asarray([[h, w]] * batch, jnp.int32),
+        "gt": GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(
+                rng.randint(0, 80, size=(batch, max_gt)).astype(np.int32)
+            ),
+            valid=jnp.asarray(valid),
+            masks=jnp.asarray(rng.rand(batch, max_gt, 28, 28).astype(np.float32)),
+        ),
+    }
+
+    state = init_stage3_state(cfg, jax.random.PRNGKey(0), sample_hw=(h, w),
+                              max_gt=max_gt)
+    step = make_stage3_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+
+    # AOT HBM guard BEFORE executing (verify skill: an overflow can take
+    # the shared worker down for hours; first on-chip run of this family)
+    compiled = step.lower(state, data, key).compile()
+    mem = compiled.memory_analysis()
+    flops_per_img = None
+    if mem is not None:
+        alias = getattr(mem, "alias_size_in_bytes", 0) or 0
+        peak = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+                + mem.temp_size_in_bytes
+                + mem.generated_code_size_in_bytes - alias) / 2**30
+        print(f"AOT peak estimate {peak:.2f} GiB", file=sys.stderr)
+        if peak > 13.0:
+            raise SystemExit(
+                f"centermask stage-3 AOT peak {peak:.2f} GiB leaves too "
+                f"little HBM headroom; lower BENCH_BATCH or set BENCH_REMAT")
+    try:
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_img = cost["flops"] / batch
+            print(f"XLA flops/img: {flops_per_img:.4e}", file=sys.stderr)
+    except Exception:
+        pass
+
+    state, metrics = step(state, data, key)
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def run_once():
+        nonlocal state, metrics, key
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, data, sub)
+        jax.device_get(metrics["total_loss"])
+        return time.perf_counter() - t0
+
+    imgs_per_sec, stats = _best_rate(run_once, batch, iters)
+    print(
+        json.dumps(
+            {
+                "metric": "stage3_train_imgs_per_sec_per_chip_centermask_r50_bifpn_afi_896px",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": _flop_matched_vs_baseline(
+                    imgs_per_sec, flops_per_img
+                ),
+                **stats,
+            }
+        )
+    )
+
+
 def main():
     import numpy as np
     import jax
@@ -738,6 +866,8 @@ def main():
         return bench_flagship()
     if os.environ.get("BENCH_STAGE") == "s101":
         return bench_s101()
+    if os.environ.get("BENCH_STAGE") == "centermask":
+        return bench_centermask()
     if os.environ.get("BENCH_STAGE") == "2fcos":
         return bench_stage2_fcos()
     if os.environ.get("BENCH_STAGE") == "tta":

@@ -9,6 +9,13 @@ in the SAME chained harness — the plain conv carries the same harness
 floor (per-buffer tunnel overhead, see verify skill), so the DELTA
 attributes the true DCN overhead.
 
+Round-5 (r4 VERDICT task 8): the original 10-iter single-pass harness
+measured res5 fwd+bwd overhead at -7.3 ms (DCN *faster* than plain —
+physically implausible; the tunnel drifts +-10% run to run). The probe
+now interleaves the variants A-B-A-B across PROBE_REPS repetitions and
+reports median/min/spread per variant, so slow drift hits both arms
+equally and the overhead sign is resolved when |overhead| > spread.
+
 Usage: python benchmarks/probe_deform_conv.py
 Prints one JSON line per (stage, variant).
 """
@@ -82,18 +89,32 @@ def main():
         plain_conv = lambda x, w_: jax.lax.conv_general_dilated(
             x, w_, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        fns = [("dcn_fwd", dcn_fwd), ("plain_fwd", plain_fwd),
+               ("dcn_fwdbwd", make_train(dcn_conv)),
+               ("plain_fwdbwd", make_train(plain_conv))]
+        reps = int(os.environ.get("PROBE_REPS", "5"))
+        samples = {name: [] for name, _ in fns}
+        for name, fn in fns:  # compile + first-run warmup outside timing
+            chained(fn, x0, 1)
+        # interleaved A-B-A-B: every rep times all four variants back to
+        # back, so tunnel drift lands on both arms of each delta
+        for _ in range(reps):
+            for name, fn in fns:
+                samples[name].append(chained(fn, x0, iters) * 1e3)
         results = {}
-        for name, fn in [("dcn_fwd", dcn_fwd), ("plain_fwd", plain_fwd),
-                         ("dcn_fwdbwd", make_train(dcn_conv)),
-                         ("plain_fwdbwd", make_train(plain_conv))]:
-            ms = chained(fn, x0, iters) * 1e3
-            results[name] = round(ms, 3)
-        results["dcn_overhead_fwd_ms"] = round(
-            results["dcn_fwd"] - results["plain_fwd"], 3)
-        results["dcn_overhead_fwdbwd_ms"] = round(
-            results["dcn_fwdbwd"] - results["plain_fwdbwd"], 3)
+        for name, _ in fns:
+            v = sorted(samples[name])
+            results[name] = round(float(np.median(v)), 3)
+            results[name + "_spread"] = round(v[-1] - v[0], 3)
+            results[name + "_samples"] = [round(s, 3) for s in samples[name]]
+        for kind in ("fwd", "fwdbwd"):
+            ov = results[f"dcn_{kind}"] - results[f"plain_{kind}"]
+            spread = max(results[f"dcn_{kind}_spread"],
+                         results[f"plain_{kind}_spread"])
+            results[f"dcn_overhead_{kind}_ms"] = round(ov, 3)
+            results[f"dcn_overhead_{kind}_resolved"] = bool(abs(ov) > spread)
         print(json.dumps({"stage": stage, "shape": [bb, h, w, c],
-                          "iters": iters, **results}))
+                          "iters": iters, "reps": reps, **results}))
 
 
 if __name__ == "__main__":

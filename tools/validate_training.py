@@ -89,11 +89,19 @@ def make_scene_coco(root, num_images=16, hw=(480, 640), num_classes=3,
                 poly = [v for xy in zip(px, py) for v in xy]
             else:
                 poly = [x, y, x + bw, y, x, y + bh]
+            # 3 keypoints per object (center, upper-left-third,
+            # lower-right-third — all inside the shape, visibility 2) so
+            # the keypoint family has real localization signal
+            kps = [x + bw / 2, y + bh / 2, 2,
+                   x + bw / 4, y + bh / 4, 2,
+                   x + 3 * bw / 4, y + 3 * bh / 4, 2]
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": cls,
                 "bbox": [float(x), float(y), float(bw), float(bh)],
                 "area": float(mask.sum()),
                 "segmentation": [list(map(float, poly))],
+                "keypoints": list(map(float, kps)),
+                "num_keypoints": 3,
                 "iscrowd": 0,
             })
             ann_id += 1
@@ -105,7 +113,9 @@ def make_scene_coco(root, num_images=16, hw=(480, 640), num_classes=3,
     js = {
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": c, "name": f"shape{c}"}
+        "categories": [{"id": c, "name": f"shape{c}",
+                        "keypoints": ["center", "ul", "lr"],
+                        "skeleton": [[1, 2], [1, 3]]}
                        for c in range(1, num_classes + 1)],
     }
     json_path = os.path.join(root, "instances.json")
@@ -246,6 +256,14 @@ DET_KEYS = {
                        "peak": ("loss_box_reg_stage*",)},
     "fcos": {"head": ("loss_fcos_cls",),
              "peak": ("loss_fcos_loc", "loss_fcos_ctr")},
+    # CenterMask: FCOS detection losses + SAG-mask head (mask trains on
+    # the FCOS head's own proposals, so it is fg-gated like loss_mask)
+    "centermask": {"head": ("loss_fcos_cls",),
+                   "peak": ("loss_fcos_loc", "loss_fcos_ctr", "loss_mask")},
+    # Keypoint R-CNN: d2 KRCNNConvDeconvUpsampleHead on the Standard ROI
+    # heads; loss_keypoint is fg-gated (normalized over visible kps)
+    "keypoint_rcnn": {"head": ("loss_cls",),
+                      "peak": ("loss_box_reg", "loss_keypoint")},
 }
 
 
@@ -304,7 +322,8 @@ def main():
                     help="override SOLVER.BASE_LR (controlled-variant "
                          "dynamics experiments)")
     ap.add_argument("--family", default="r50",
-                    choices=["r50", "s101", "fcos_bifpn", "swin"],
+                    choices=["r50", "s101", "fcos_bifpn", "swin",
+                             "centermask", "keypoint"],
                     help="model family: r50 = the default Mask R-CNN "
                          "R-50-FPN progressive pipeline; s101 = stage-3 "
                          "Cascade Mask R-CNN ResNeSt-101-PAFPN (BASELINE "
@@ -319,7 +338,8 @@ def main():
 
     # family → (per-stage yaml, judge det-key set, extra cfg overrides)
     fam = args.family
-    fixed_stage = {"s101": "3", "fcos_bifpn": "2", "swin": "3"}.get(fam)
+    fixed_stage = {"s101": "3", "fcos_bifpn": "2", "swin": "3",
+                   "centermask": "3", "keypoint": "3"}.get(fam)
     if fixed_stage is not None:
         if args.stages is not None and args.stages != fixed_stage:
             ap.error(f"--family {fam} runs stage {fixed_stage} only; "
@@ -329,7 +349,9 @@ def main():
         args.stages = "1,2,3"
 
     det_keys = {"r50": "rcnn", "s101": "cascade",
-                "fcos_bifpn": "fcos", "swin": "cascade_nomask"}[fam]
+                "fcos_bifpn": "fcos", "swin": "cascade_nomask",
+                "centermask": "centermask",
+                "keypoint": "keypoint_rcnn"}[fam]
 
     if args.rejudge:
         summary = {"iters": args.iters, "tiny": args.tiny, "family": fam,
@@ -401,6 +423,28 @@ def main():
                 cfg.MODEL.BIFPN.FPN_REPEAT = 1
                 cfg.MODEL.AFI.IN_CHANNELS = 32
                 cfg.MODEL.FCOS.NUM_CONVS = 1
+        elif fam == "centermask":
+            # CenterMask R-50-BiFPN stage-3 (README CenterMask rows);
+            # FCOS LR convention like fcos_bifpn, scaled to batch 4
+            cfg.MODEL.FCOS.NUM_CLASSES = 3
+            cfg.SOLVER.BASE_LR = 0.0025
+            cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
+            if args.tiny:
+                cfg.TPU.IMAGE_BUCKETS = [[128, 128]]
+                cfg.MODEL.BIFPN.OUT_CHANNELS = 32
+                cfg.MODEL.BIFPN.FPN_REPEAT = 1
+                cfg.MODEL.AFI.IN_CHANNELS = 32
+                cfg.MODEL.FCOS.NUM_CONVS = 1
+        elif fam == "keypoint":
+            # Keypoint R-CNN R-50-FPN stage-3: d2's keypoint capability
+            # (SURVEY §2.2) — Mask R-CNN config with the mask branch
+            # swapped for the keypoint branch; the scene dataset carries
+            # 3 keypoints per object (center/ul/lr)
+            cfg.MODEL.MASK_ON = False
+            cfg.MODEL.KEYPOINT_ON = True
+            cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 3
+            cfg.SOLVER.BASE_LR = 0.005
+            cfg.SOLVER.IMS_PER_BATCH = 2 if args.tiny else 4
         elif fam == "swin":
             # Swin-T BiFPN Cascade stage-3: the AdamW + LayerNorm + bf16
             # training path (round-3 VERDICT task 9)
@@ -446,6 +490,10 @@ def main():
                  "AFI-GAN_cascade_mask_rcnn_ResNeSt101_PAFPN.yaml"),
         "swin": ("/root/repo/configs/inference/"
                  "AFI-GAN_cascade_rcnn_swint_BiFPN_ST.yaml"),
+        "centermask": ("/root/repo/configs/inference/"
+                       "AFI-GAN_centermask_R_50_BiFPN.yaml"),
+        "keypoint": ("/root/repo/configs/inference/"
+                     "AFI-GAN_maskrcnn_R_50_FPN.yaml"),
     }.get(fam)
 
     if 2 in stages:
