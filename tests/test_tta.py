@@ -142,3 +142,18 @@ def test_tta_batching_matches_batch1(tmp_path):
             if np.isnan(v1) and np.isnan(v4):
                 continue
             assert v4 == pytest.approx(v1, abs=1e-6), (task, k, v1, v4)
+
+
+def test_tta_batch_for_canvas_pixel_budget():
+    """Effective TTA batch = min(cap, budget // canvas_pixels), >= 1:
+    big canvases fall back to batch 1 instead of risking HBM."""
+    from afigan_tpu.engine.tta import tta_batch_for_canvas
+
+    cfg = get_cfg()
+    cfg.TPU.TTA_BATCH = 8
+    cfg.TPU.TTA_PIXEL_BUDGET = 4_500_000
+    assert tta_batch_for_canvas(cfg, (448, 768)) == 8      # small: cap wins
+    assert tta_batch_for_canvas(cfg, (832, 1344)) == 4     # flagship-validated
+    assert tta_batch_for_canvas(cfg, (1408, 2304)) == 1    # big: floor at 1
+    cfg.TPU.TTA_BATCH = 1
+    assert tta_batch_for_canvas(cfg, (448, 768)) == 1      # batch-1 mode
