@@ -242,14 +242,21 @@ def make_stage2_train_step(cfg, mesh: Optional[Mesh] = None):
             gan_feat_loss, has_aux=True
         )(fake)
 
-        loss_cotangents = jax.tree.map(lambda x: jnp.ones_like(x), det_losses)
+        # "diag_*" entries are monitoring-only: zero cotangent (no loss
+        # contribution) and excluded from total_loss below
+        loss_cotangents = {
+            k: (jnp.zeros_like(v) if k.startswith("diag_")
+                else jnp.ones_like(v))
+            for k, v in det_losses.items()
+        }
         (det_grads,) = det_vjp((loss_cotangents, feat_cotangents))
         if axis:
             det_grads = jax.lax.pmean(det_grads, axis)
         det_up, new_det_opt = dtx.update(det_grads, state.det_opt, state.det_params)
         new_det_params = optax.apply_updates(state.det_params, det_up)
 
-        total_loss = sum(jax.tree.leaves(det_losses)) + gan_loss
+        total_loss = sum(v for k, v in det_losses.items()
+                         if not k.startswith("diag_")) + gan_loss
         metrics = {
             "total_loss": total_loss, "d_loss": d_loss,
             **det_losses,

@@ -97,7 +97,10 @@ def make_stage3_train_step(cfg, mesh: Optional[Mesh] = None):
                     mb["gt"], rngs=_det_rngs(mb_rng),
                 )
                 new_stats = stats
-            total = sum(jax.tree.leaves(losses))
+            # "diag_*" entries are monitoring-only (e.g. sampled-fg
+            # fraction): reported in metrics, excluded from the loss
+            total = sum(v for k, v in losses.items()
+                        if not k.startswith("diag_"))
             return total, (losses, new_stats)
 
         if accum == 1:

@@ -123,6 +123,16 @@ class CascadeROIHeads(StandardROIHeads):
                     )
                     gt_classes = jnp.where(valid, gt_classes, self.num_classes)
 
+                # diagnostic (excluded from total_loss by the stage
+                # steps): fraction of sampled proposals that are
+                # foreground at this cascade stage's IoU — the fg-gated
+                # losses (box_reg, later-stage cls) scale with this
+                # mixture, which RISES while the RPN/stage-(k-1) boxes
+                # improve (observed on-chip: DYNVAL_r05_s101*)
+                fg = (gt_classes < self.num_classes) & valid
+                losses[f"diag_fg_frac_stage{stage}"] = jnp.mean(
+                    fg.astype(jnp.float32))
+
                 logits, deltas = self._run_stage(features, boxes, stage)
                 matched_gt_boxes = jnp.take_along_axis(
                     gt.boxes, gt_idx[..., None], axis=1

@@ -250,6 +250,11 @@ class StandardROIHeads(nn.Module):
                 losses["loss_keypoint"] = self._keypoint_branch_train(
                     features, sampled, gt
                 )
+            # diagnostic (excluded from total_loss by the stage steps):
+            # sampled-foreground fraction — the fg-gated losses scale
+            # with this mixture, which rises while the RPN warms up
+            fg = (sampled.gt_classes < self.num_classes) & sampled.valid
+            losses["diag_fg_frac"] = jnp.mean(fg.astype(jnp.float32))
             return losses
 
         # ---------------- inference ----------------

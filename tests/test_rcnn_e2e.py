@@ -69,7 +69,11 @@ def test_train_forward_losses():
         lambda v, r: model.apply(v, images, sizes, gt, rngs={"sampling": r})
     )(variables, jax.random.PRNGKey(2))
     expected = {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg", "loss_mask"}
-    assert expected == set(losses), losses.keys()
+    # diag_* entries are monitoring-only (excluded from total_loss by
+    # the stage steps) — loss keys proper must match exactly
+    assert expected == {k for k in losses if not k.startswith("diag_")}, (
+        losses.keys())
+    assert 0.0 <= float(losses["diag_fg_frac"]) <= 1.0
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, v)
     assert "srf_module" in variables["params"]["backbone"]["pyramid"]
