@@ -377,9 +377,14 @@ _C.TPU.SWIN_LN_IMPL = "auto"
 # the (bnw, n, heads, hd) qkv layout (heads as an einsum batch dim, no
 # explicit head-split transposes — the breakdown's 20.2% "layout" rows
 # are bf16[...,3,nh,hd] permutes of the qkv tensor); "split" is the
-# d2-style explicit transpose chain. Default stays "split" until the
-# flagship A/B lands (evidence rule: no hot-path default without a
-# back-to-back on-chip measurement).
+# d2-style explicit transpose chain. DEFAULT "split" BY MEASUREMENT:
+# round-5 back-to-back flagship A/B (3 interleaved reps,
+# benchmarks/results/ab_swin_struct_r05.jsonl) measured headmajor
+# 10.045/10.051/10.052 vs split 11.436/11.447/11.448 img/s — 12.2%
+# SLOWER despite deleting the permutes: XLA lowers the non-leading
+# batch-dim dot_generals to worse internal layouts than the one-time
+# copies cost. Same lesson as the Pallas-kernel A/Bs: trace-plausible
+# restructurings must win on the chip before shipping.
 _C.TPU.SWIN_QKV_LAYOUT = "split"
 # SWIN_SCORES_DTYPE: dtype the attention scores/softmax are carried in.
 # "float32" is the d2-faithful default; "bfloat16" keeps the (…, n, n)
