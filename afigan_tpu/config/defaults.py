@@ -387,12 +387,21 @@ _C.TPU.SWIN_LN_IMPL = "auto"
 # restructurings must win on the chip before shipping.
 _C.TPU.SWIN_QKV_LAYOUT = "split"
 # SWIN_SCORES_DTYPE: dtype the attention scores/softmax are carried in.
-# "float32" is the d2-faithful default; "bfloat16" keeps the (…, n, n)
+# "float32" is the d2-faithful choice; "bfloat16" keeps the (…, n, n)
 # score tensor in bf16 end-to-end (MXU still accumulates the QK^T
 # matmul in f32; exp/sum run in bf16) — halves the HBM bytes of the
 # softmax round-trip (~29% of flagship device time combined with the
-# adjacent reduces). Default f32 until the A/B + parity delta land.
-_C.TPU.SWIN_SCORES_DTYPE = "float32"
+# adjacent reduces). DEFAULT "bfloat16" BY MEASUREMENT: round-5
+# back-to-back flagship A/B (3 interleaved reps,
+# benchmarks/results/ab_swin_struct_r05.jsonl) measured 13.051/13.045/
+# 13.022 vs 11.445/11.446/11.447 img/s — +14.0%, non-overlapping.
+# Numerics guard: backbone features within 2e-2 relative of the f32
+# path (tests/test_swin_impl_gates.py) and the full flagship pipeline
+# produces identical post-NMS detections on the CPU check; the window
+# softmax is over 144 bf16 logits with the additive bias/mask applied
+# before the cast, so the f32-vs-bf16 difference is far below the
+# detection thresholds. Set "float32" for strict d2-parity debugging.
+_C.TPU.SWIN_SCORES_DTYPE = "bfloat16"
 # TTA batching: evaluate up to TTA_BATCH images per compiled
 # (scale, flip, canvas) program, capped so batch * canvas-pixels stays
 # under TTA_PIXEL_BUDGET (the flagship inference bench validates batch 4

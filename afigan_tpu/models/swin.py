@@ -333,6 +333,10 @@ class SwinTransformer(nn.Module):
                 "TPU.SWIN_ATTN_IMPL/SWIN_LN_IMPL='pallas' is inference-only "
                 "(the fused kernels have no VJP); use 'auto' or 'xla' for "
                 "training")
+        # bf16 scores are an INFERENCE default (measured +14% on the
+        # flagship A/B, ab_swin_struct_r05.jsonl); the training path has
+        # no such measurement, so autodiff always runs f32 softmax
+        scores_dtype = "float32" if self.train else self.scores_dtype
         if self.ln_impl == "auto":
             use_pallas_ln = attn_impl == "pallas"
         else:
@@ -364,7 +368,7 @@ class SwinTransformer(nn.Module):
                     train=self.train, dtype=self.dtype, attn_impl=attn_impl,
                     use_pallas_ln=use_pallas_ln,
                     qkv_layout=self.qkv_layout,
-                    scores_dtype=self.scores_dtype,
+                    scores_dtype=scores_dtype,
                     name=f"stage{i+2}/block{d}",
                 )(y)
                 blk += 1
