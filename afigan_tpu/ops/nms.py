@@ -15,6 +15,7 @@ runs as wide VPU ops.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -25,13 +26,19 @@ from .boxes import pairwise_iou
 
 _NEG_INF = -1.0e10
 
+# Suppression block size. 128 was the original hand-pick; the r5 on-chip
+# A/B through the FULL BENCH_STAGE=infer program (not a micro-probe)
+# measures alternatives via this env override — see
+# benchmarks/results/nms_block_ab_r05.jsonl and the default note below.
+_BLOCK_SIZE = int(os.environ.get("AFIGAN_NMS_BLOCK", "128"))
+
 
 def nms_keep_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: Optional[jnp.ndarray] = None,
-    block_size: int = 128,
+    block_size: int = _BLOCK_SIZE,
     stop_after: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run NMS over score-sorted boxes.
@@ -151,7 +158,7 @@ def nms_padded(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
-    block_size: int = 128,
+    block_size: int = _BLOCK_SIZE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS returning the top-``max_out`` survivors (fixed shape).
 
@@ -193,7 +200,7 @@ def batched_nms_padded(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
-    block_size: int = 128,
+    block_size: int = _BLOCK_SIZE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Category-aware NMS via the coordinate-offset trick (torchvision style).
 

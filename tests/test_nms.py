@@ -222,3 +222,32 @@ def test_nms_padded_max_out_exceeds_candidates():
     k = int(np.asarray(ov).sum())
     assert 1 <= k <= n
     assert not np.asarray(ov)[n:].any()  # padding is invalid
+
+
+def test_nms_block_size_invariance():
+    """The blocked-sequential algorithm computes EXACT greedy NMS for
+    any block size (the block is a scheduling choice, not an
+    approximation) — the keep set must be identical across sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from afigan_tpu.ops.nms import nms_padded
+
+    rng = np.random.RandomState(7)
+    n = 700
+    xy = rng.rand(n, 2) * 400
+    wh = rng.rand(n, 2) * 120 + 4
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+
+    ref = None
+    for bs in (64, 128, 256, 512):
+        b, s, i, v = nms_padded(boxes, scores, 0.5, 100, valid=valid,
+                                block_size=bs)
+        cur = (np.asarray(i)[np.asarray(v)], np.asarray(b)[np.asarray(v)])
+        if ref is None:
+            ref = cur
+        else:
+            np.testing.assert_array_equal(cur[0], ref[0], f"bs={bs}")
+            np.testing.assert_allclose(cur[1], ref[1], err_msg=f"bs={bs}")
