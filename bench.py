@@ -445,28 +445,33 @@ def bench_tta():
         canvases.append(choose_bucket(h, w, cfg.TPU.IMAGE_BUCKETS, div))
     canvases = sorted(set(canvases), key=lambda c: c[0] * c[1])
     print(f"TTA canvases: {canvases}", file=sys.stderr)
-    big = canvases[-1]
-    # guard at the batch the dispatcher will actually use on this canvas
+    # guard EVERY (canvas, effective-batch) program the sweep will run —
+    # with batching, the largest canvas runs batch 1 while mid-size
+    # canvases run batch 4-8, so "largest canvas only" guards the wrong
+    # program (the r5 batch-8 first attempt took the worker down mid-
+    # sweep). The compiles are not wasted: the timed run reuses them
+    # through the compilation cache.
     from afigan_tpu.engine.tta import tta_batch_for_canvas
 
-    big_b = tta_batch_for_canvas(cfg, big)
-    print(f"largest-canvas batch: {big_b}", file=sys.stderr)
-    lowered = fwd.lower(
-        variables, jnp.zeros((big_b,) + big + (3,), jnp.float32),
-        jnp.asarray([[big[0], big[1]]] * big_b, jnp.int32),
-    ).compile()
-    try:
-        mem = lowered.memory_analysis()
-        peak = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
-                + mem.output_size_in_bytes) / 2**30
-        print(f"AOT peak estimate @ {big}: {peak:.2f} GiB", file=sys.stderr)
-        if peak > 13.0:
-            raise SystemExit(
-                f"TTA largest-scale AOT peak {peak:.2f} GiB leaves too "
-                f"little HBM headroom")
-    except AttributeError:
-        pass
-    del lowered
+    for cv in canvases:
+        b_eff = tta_batch_for_canvas(cfg, cv)
+        lowered = fwd.lower(
+            variables, jnp.zeros((b_eff,) + cv + (3,), jnp.float32),
+            jnp.asarray([[cv[0], cv[1]]] * b_eff, jnp.int32),
+        ).compile()
+        try:
+            mem = lowered.memory_analysis()
+            peak = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                    + mem.output_size_in_bytes) / 2**30
+            print(f"AOT peak estimate @ {cv} b{b_eff}: {peak:.2f} GiB",
+                  file=sys.stderr)
+            if peak > 13.0:
+                raise SystemExit(
+                    f"TTA AOT peak {peak:.2f} GiB @ {cv} b{b_eff} leaves "
+                    f"too little HBM headroom")
+        except AttributeError:
+            pass
+        del lowered
 
     with tempfile.TemporaryDirectory() as root:
         json_path, img_dir = make_tiny_coco(root, num_images=n_images + 1,
