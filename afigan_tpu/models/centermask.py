@@ -96,25 +96,31 @@ class CenterMask(nn.Module):
         # default the fused Pallas window pool, with the gather/fast/windowed
         # forms selectable for A/B and debugging.
         feats = [features[f] for f in self.mask_in_features]
-        if self.pooler_impl == "pallas":
-            return multilevel_roi_align_pallas(
-                tuple(feats), boxes, tuple(self.mask_strides),
-                self.mask_pooler_resolution, 2, True,
-            )
         from ..ops.roi_align import (
             multilevel_roi_align,
             multilevel_roi_align_fast,
             multilevel_roi_align_windowed,
+            pallas_pooler_supported,
         )
 
-        if self.pooler_impl == "fast":
+        impl_name = self.pooler_impl
+        if impl_name == "pallas" and not pallas_pooler_supported(
+            feats[0].shape[-1]
+        ):
+            impl_name = "fast"  # BiFPN's 160-ch pyramid (see helper note)
+        if impl_name == "pallas":
+            return multilevel_roi_align_pallas(
+                tuple(feats), boxes, tuple(self.mask_strides),
+                self.mask_pooler_resolution, 2, True,
+            )
+        if impl_name == "fast":
             return jax.vmap(lambda *a: multilevel_roi_align_fast(
                 tuple(a[:-1]), a[-1], tuple(self.mask_strides),
                 self.mask_pooler_resolution, 2, True,
             ))(*feats, boxes)
         impl = (
             multilevel_roi_align_windowed
-            if self.pooler_impl == "windowed"
+            if impl_name == "windowed"
             else multilevel_roi_align
         )
         return jax.vmap(lambda *a: impl(

@@ -157,17 +157,24 @@ class StandardROIHeads(nn.Module):
         feats = [features[f] for f in self.in_features]
         sr = self.sampling_ratio if sampling_ratio is None else sampling_ratio
         al = self.aligned if aligned is None else aligned
-        if self.pooler_impl == "pallas":
+        from ..ops.roi_align import pallas_pooler_supported
+
+        impl_name = self.pooler_impl
+        if impl_name == "pallas" and not pallas_pooler_supported(
+            feats[0].shape[-1]
+        ):
+            impl_name = "fast"  # e.g. BiFPN's 160-ch pyramid (see helper)
+        if impl_name == "pallas":
             return multilevel_roi_align_pallas(
                 tuple(feats), boxes, tuple(self.strides), resolution, sr, al,
             )
-        if self.pooler_impl == "fast":
+        if impl_name == "fast":
             return jax.vmap(lambda *a: multilevel_roi_align_fast(
                 tuple(a[:-1]), a[-1], tuple(self.strides), resolution, sr, al,
             ))(*feats, boxes)
         impl = (
             multilevel_roi_align_windowed
-            if self.pooler_impl == "windowed"
+            if impl_name == "windowed"
             else multilevel_roi_align
         )
         return jax.vmap(lambda *a: impl(

@@ -783,6 +783,16 @@ def _pallas_pool_bwd_dense(features, boxes, strides, output_size,
     return grads
 
 
+def pallas_pooler_supported(channels: int) -> bool:
+    """Whether the fused Pallas window-pool kernel supports this channel
+    count. The kernel's contiguity-preserving reshape (p*win_c, c) in
+    _pool_kernel (ops/pallas/roi_pool.py:72) is a layout no-op only when
+    C is lane-aligned (a multiple of 128); Mosaic rejects it otherwise —
+    first hit by the BiFPN families' 160-channel pyramid (CenterMask
+    R-50-BiFPN, round 5). Callers fall back to the "fast" pooler."""
+    return channels % 128 == 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def multilevel_roi_align_pallas(
     features, boxes, strides, output_size, sampling_ratio=2, aligned=True,

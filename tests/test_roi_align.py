@@ -418,3 +418,35 @@ def test_pallas_pooler_edge_rois_exact_without_overflow_slots():
         )(*feats, boxes)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_pooler_unaligned_channels_fallback():
+    """BiFPN pyramids carry 160 channels — not lane-aligned, so the
+    fused Pallas window-pool kernel cannot compile (Mosaic rejects the
+    (p*win_c, c) reshape; first hit by CenterMask R-50-BiFPN on-chip).
+    The dispatch must fall back to the 'fast' pooler and produce the
+    same (exact ROIAlign) result as the gather reference."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from afigan_tpu.models.roi_heads import StandardROIHeads
+    from afigan_tpu.ops.roi_align import pallas_pooler_supported
+
+    assert pallas_pooler_supported(256)
+    assert pallas_pooler_supported(128)
+    assert not pallas_pooler_supported(160)
+    assert not pallas_pooler_supported(32)
+
+    rng = np.random.RandomState(0)
+    feats = {
+        "p3": jnp.asarray(rng.rand(1, 16, 24, 160).astype(np.float32)),
+        "p4": jnp.asarray(rng.rand(1, 8, 12, 160).astype(np.float32)),
+    }
+    boxes = jnp.asarray(
+        np.array([[[8.0, 8.0, 80.0, 60.0], [16.0, 4.0, 120.0, 90.0]]],
+                 np.float32))
+    kw = dict(in_features=("p3", "p4"), strides=(8, 16))
+    out_p = StandardROIHeads(pooler_impl="pallas", **kw)._pool(feats, boxes, 7)
+    out_g = StandardROIHeads(pooler_impl="gather", **kw)._pool(feats, boxes, 7)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-5)
