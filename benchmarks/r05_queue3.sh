@@ -31,8 +31,4 @@ for rep in 1 2; do
   done
 done
 
-log "deform probe"
-timeout 3000 python benchmarks/probe_deform_conv.py > $R/deform_probe_r05.json 2>$R/deform_probe_r05.log
-echo "deform exit=$?" >&2
-
 log "queue3 done"
