@@ -408,8 +408,15 @@ _C.TPU.SWIN_SCORES_DTYPE = "bfloat16"
 # at 832x1344 ≈ 4.5M pixels on a 16 GB chip). Batching amortizes the
 # per-program dispatch/weight-staging cost across images; identical math
 # to batch-1 (each batch element is processed independently; outputs are
-# sliced back out — pinned by tests/test_tta.py). Default 1 until the
-# BENCH_STAGE=tta batch A/B lands.
+# sliced back out — pinned by tests/test_tta.py). DEFAULT 1: the
+# round-5 batched A/B arm (BENCH_TTA_BATCH=8) took this environment's
+# TPU worker down at RUN time twice — not HBM (every per-canvas program
+# AOT-estimates <= 2.8 GiB under the sweep guard; see
+# benchmarks/results/tta_batch_ab_r05.log) — the same
+# new-program-shape worker-fault class the r3 NMS block sweep hit. The
+# batch-1 arm measured 0.0151 img/s (tta_batch_ab_r05.jsonl). Batching
+# remains the intended mode on regular locally-attached TPUs; raise
+# TTA_BATCH to opt in.
 _C.TPU.TTA_BATCH = 1
 _C.TPU.TTA_PIXEL_BUDGET = 4_500_000
 # Mesh: axis names and sizes; -1 means "all remaining devices".
